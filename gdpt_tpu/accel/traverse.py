@@ -1,0 +1,304 @@
+"""Device ray casting: closest-hit and any-hit queries.
+
+Replaces Embree's ``rtcIntersect1`` / ``rtcOccluded1``
+(reference: src/intersection.cpp:32,83). Two interchangeable backends:
+
+- ``*_brute``: test every primitive; pure vectorized math, no gathers.
+  Optimal on TPU for small scenes (the whole primitive soup stays in
+  VMEM and the VPU streams through it).
+- ``*_bvh``: stackless miss-link traversal of the flat BVH from
+  accel/bvh.py; per-ray ``lax.while_loop`` (vmapped) with leaves tested
+  4-wide. Chosen automatically for large scenes.
+
+All functions are per-ray (scalar org/dir) and are meant to be vmapped.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdpt_tpu.core.dtypes import BIG, INT, REAL
+
+
+class Geometry(NamedTuple):
+    """Flattened scene geometry (triangle soup + spheres + BVH)."""
+
+    # Triangles (T, 3): precomputed for intersection.
+    tri_v0: jnp.ndarray
+    tri_e1: jnp.ndarray
+    tri_e2: jnp.ndarray
+    tri_shape_id: jnp.ndarray  # (T,)
+    # Spheres.
+    sph_center: jnp.ndarray    # (S, 3)
+    sph_radius: jnp.ndarray    # (S,)
+    sph_shape_id: jnp.ndarray  # (S,)
+    # BVH (may be zero-size when brute force is used).
+    bvh_bbox_min: jnp.ndarray
+    bvh_bbox_max: jnp.ndarray
+    bvh_first: jnp.ndarray
+    bvh_count: jnp.ndarray
+    bvh_miss: jnp.ndarray
+    bvh_prim_order: jnp.ndarray
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray        # distance; >= tfar when missed
+    prim_id: jnp.ndarray  # global primitive id; -1 when missed
+    u: jnp.ndarray        # triangle barycentric u (or sphere azimuth/2pi)
+    v: jnp.ndarray        # triangle barycentric v (or sphere elevation/pi)
+
+    @property
+    def valid(self):
+        return self.prim_id >= 0
+
+
+def intersect_tri(v0, e1, e2, org, d, tnear, tfar):
+    """Moeller-Trumbore. Returns (t, u, v, hit)."""
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    tvec = org - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    hit = (
+        (det != 0)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t >= tnear) & (t < tfar)
+    )
+    return t, u, v, hit
+
+
+def intersect_sphere(center, radius, org, d, tnear, tfar):
+    """Numerically stable quadratic, both roots considered
+    (reference: src/shapes/sphere.inl:14-105). Returns (t, hit)."""
+    v = org - center
+    a = jnp.sum(d * d, axis=-1)
+    b = 2.0 * jnp.sum(d * v, axis=-1)
+    c = jnp.sum(v * v, axis=-1) - radius * radius
+    disc = b * b - 4.0 * a * c
+    ok = disc >= 0.0
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b >= 0.0, -b - root, -b + root)
+    safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
+    t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * c, q))
+    t1 = jnp.where(b >= 0.0, safe(2.0 * c, q), safe(q, 2.0 * a))
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    use_lo = (tlo >= tnear) & (tlo < tfar)
+    use_hi = (thi >= tnear) & (thi < tfar)
+    t = jnp.where(use_lo, tlo, thi)
+    hit = ok & (use_lo | use_hi) & (a != 0)
+    return t, hit
+
+
+def sphere_uv(center, radius, p):
+    """Spherical coordinates as uv (reference: src/shapes/sphere.inl:94-101):
+    u = azimuth / 2pi, v = elevation / pi, y up."""
+    n = (p - center) / radius
+    elevation = jnp.arccos(jnp.clip(n[..., 1], -1.0, 1.0))
+    azimuth = jnp.arctan2(n[..., 2], n[..., 0])
+    return azimuth / (2.0 * jnp.pi), elevation / jnp.pi
+
+
+# --------------------------------------------------------------------------
+# Brute force backend
+# --------------------------------------------------------------------------
+
+def intersect_brute(geom: Geometry, org, d, tnear, tfar):
+    n_tri = geom.tri_v0.shape[0]
+    best_t = jnp.asarray(tfar, REAL)
+    best_prim = jnp.asarray(-1, INT)
+    best_u = jnp.asarray(0.0, REAL)
+    best_v = jnp.asarray(0.0, REAL)
+    if n_tri:
+        t, u, v, hit = intersect_tri(
+            geom.tri_v0, geom.tri_e1, geom.tri_e2, org, d, tnear, best_t
+        )
+        t = jnp.where(hit, t, BIG)
+        i = jnp.argmin(t)
+        ti = t[i]
+        closer = ti < best_t
+        best_t = jnp.where(closer, ti, best_t)
+        best_prim = jnp.where(closer, i.astype(INT), best_prim)
+        best_u = jnp.where(closer, u[i], best_u)
+        best_v = jnp.where(closer, v[i], best_v)
+    if geom.sph_center.shape[0]:
+        t, hit = intersect_sphere(
+            geom.sph_center, geom.sph_radius, org, d, tnear, best_t
+        )
+        t = jnp.where(hit, t, BIG)
+        i = jnp.argmin(t)
+        ti = t[i]
+        closer = ti < best_t
+        best_t = jnp.where(closer, ti, best_t)
+        best_prim = jnp.where(closer, (n_tri + i).astype(INT), best_prim)
+    return Hit(best_t, best_prim, best_u, best_v)
+
+
+def occluded_brute(geom: Geometry, org, d, tnear, tfar):
+    blocked = jnp.asarray(False)
+    if geom.tri_v0.shape[0]:
+        _, _, _, hit = intersect_tri(
+            geom.tri_v0, geom.tri_e1, geom.tri_e2, org, d, tnear, tfar
+        )
+        blocked |= jnp.any(hit)
+    if geom.sph_center.shape[0]:
+        _, hit = intersect_sphere(
+            geom.sph_center, geom.sph_radius, org, d, tnear, tfar
+        )
+        blocked |= jnp.any(hit)
+    return blocked
+
+
+# --------------------------------------------------------------------------
+# BVH backend
+# --------------------------------------------------------------------------
+
+def _aabb_hit(bbox_min, bbox_max, org, inv_d, tnear, tfar):
+    t0 = (bbox_min - org) * inv_d
+    t1 = (bbox_max - org) * inv_d
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    t_in = jnp.maximum(jnp.max(tlo, axis=-1), tnear)
+    t_out = jnp.minimum(jnp.min(thi, axis=-1), tfar)
+    return t_in <= t_out
+
+
+def _leaf_prims(geom: Geometry, first, leaf_size):
+    """Gather leaf primitive slots [first, first + leaf_size)."""
+    slots = first + jnp.arange(leaf_size, dtype=INT)
+    slots = jnp.clip(slots, 0, geom.bvh_prim_order.shape[0] - 1)
+    return geom.bvh_prim_order[slots]
+
+
+_LEAF_SIZE = 4
+
+
+def _test_prim(geom: Geometry, prim, org, d, tnear, tfar):
+    """Test one primitive id; returns (t, u, v, hit)."""
+    n_tri = geom.tri_v0.shape[0]
+    n_sph = geom.sph_center.shape[0]
+    if n_tri and n_sph:
+        is_tri = prim < n_tri
+        tri_id = jnp.clip(prim, 0, n_tri - 1)
+        sph_id = jnp.clip(prim - n_tri, 0, n_sph - 1)
+        tt, u, v, th = intersect_tri(
+            geom.tri_v0[tri_id], geom.tri_e1[tri_id], geom.tri_e2[tri_id],
+            org, d, tnear, tfar,
+        )
+        ts, sh = intersect_sphere(
+            geom.sph_center[sph_id], geom.sph_radius[sph_id],
+            org, d, tnear, tfar,
+        )
+        t = jnp.where(is_tri, tt, ts)
+        hit = jnp.where(is_tri, th, sh)
+        u = jnp.where(is_tri, u, 0.0)
+        v = jnp.where(is_tri, v, 0.0)
+        return t, u, v, hit
+    if n_tri:
+        tri_id = jnp.clip(prim, 0, n_tri - 1)
+        return intersect_tri(
+            geom.tri_v0[tri_id], geom.tri_e1[tri_id], geom.tri_e2[tri_id],
+            org, d, tnear, tfar,
+        )
+    sph_id = jnp.clip(prim - n_tri, 0, n_sph - 1)
+    t, hit = intersect_sphere(
+        geom.sph_center[sph_id], geom.sph_radius[sph_id], org, d, tnear, tfar
+    )
+    return t, jnp.zeros_like(t), jnp.zeros_like(t), hit
+
+
+def intersect_bvh(geom: Geometry, org, d, tnear, tfar):
+    n_nodes = geom.bvh_bbox_min.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+
+    def cond(state):
+        node = state[0]
+        return node < n_nodes
+
+    def body(state):
+        node, best_t, best_prim, best_u, best_v = state
+        hit_box = _aabb_hit(
+            geom.bvh_bbox_min[node], geom.bvh_bbox_max[node],
+            org, inv_d, tnear, best_t,
+        )
+        count = geom.bvh_count[node]
+        is_leaf = count > 0
+        test_leaf = hit_box & is_leaf
+        prims = _leaf_prims(geom, geom.bvh_first[node], _LEAF_SIZE)
+        for j in range(_LEAF_SIZE):
+            t, u, v, hit = _test_prim(geom, prims[j], org, d, tnear, best_t)
+            take = test_leaf & (j < count) & hit & (t < best_t)
+            best_t = jnp.where(take, t, best_t)
+            best_prim = jnp.where(take, prims[j], best_prim)
+            best_u = jnp.where(take, u, best_u)
+            best_v = jnp.where(take, v, best_v)
+        nxt = jnp.where(
+            hit_box & ~is_leaf, node + 1, geom.bvh_miss[node]
+        )
+        return nxt, best_t, best_prim, best_u, best_v
+
+    state = (
+        jnp.asarray(0, INT),
+        jnp.asarray(tfar, REAL),
+        jnp.asarray(-1, INT),
+        jnp.asarray(0.0, REAL),
+        jnp.asarray(0.0, REAL),
+    )
+    _, t, prim, u, v = jax.lax.while_loop(cond, body, state)
+    return Hit(t, prim, u, v)
+
+
+def occluded_bvh(geom: Geometry, org, d, tnear, tfar):
+    n_nodes = geom.bvh_bbox_min.shape[0]
+    inv_d = 1.0 / jnp.where(d == 0.0, 1e-20, d)
+
+    def cond(state):
+        node, blocked = state
+        return (node < n_nodes) & ~blocked
+
+    def body(state):
+        node, blocked = state
+        hit_box = _aabb_hit(
+            geom.bvh_bbox_min[node], geom.bvh_bbox_max[node],
+            org, inv_d, tnear, tfar,
+        )
+        count = geom.bvh_count[node]
+        is_leaf = count > 0
+        test_leaf = hit_box & is_leaf
+        prims = _leaf_prims(geom, geom.bvh_first[node], _LEAF_SIZE)
+        for j in range(_LEAF_SIZE):
+            _, _, _, hit = _test_prim(geom, prims[j], org, d, tnear, tfar)
+            blocked |= test_leaf & (j < count) & hit
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, geom.bvh_miss[node])
+        return nxt, blocked
+
+    _, blocked = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, INT), jnp.asarray(False))
+    )
+    return blocked
+
+
+# --------------------------------------------------------------------------
+# Dispatch
+# --------------------------------------------------------------------------
+
+# Below this many primitives, brute force beats traversal on TPU (no
+# gathers, no divergence).
+BRUTE_FORCE_THRESHOLD = 128
+
+
+def use_brute_force(n_prims: int) -> bool:
+    return n_prims <= BRUTE_FORCE_THRESHOLD
+
+
+def make_intersect(n_prims: int):
+    return intersect_brute if use_brute_force(n_prims) else intersect_bvh
+
+
+def make_occluded(n_prims: int):
+    return occluded_brute if use_brute_force(n_prims) else occluded_bvh
