@@ -74,6 +74,12 @@ def nee_contribution(scene, static, key, bounce, vertex, params, dir_view,
 
 def trace_path(scene: DeviceScene, static: SceneStatic, x, y, key):
     """Radiance estimate for one sample of pixel (x, y)."""
+    return trace_path_stats(scene, static, x, y, key)[0]
+
+
+def trace_path_stats(scene: DeviceScene, static: SceneStatic, x, y, key):
+    """Like trace_path but also returns the number of rays cast (primary +
+    shadow + scatter), for Mrays/s benchmarking."""
     w, h = static.width, static.height
     used = static.used_material_kinds
     u_px = rng.uniform(key, 0, rng.SLOT_PIXEL, (2,))
@@ -95,7 +101,7 @@ def trace_path(scene: DeviceScene, static: SceneStatic, x, y, key):
 
     n_iters = max_bounce_iters(static)
     if n_iters == 0:
-        return radiance
+        return radiance, jnp.asarray(1.0, REAL)
 
     state = dict(
         radiance=radiance,
@@ -106,6 +112,7 @@ def trace_path(scene: DeviceScene, static: SceneStatic, x, y, key):
         vertex=vertex,
         active=vertex.valid,
         bounce=jnp.asarray(0, jnp.int32),
+        rays=jnp.asarray(1.0, REAL),
     )
 
     def cond(s):
@@ -120,11 +127,14 @@ def trace_path(scene: DeviceScene, static: SceneStatic, x, y, key):
         params = mat.gather_params(scene, static, vertex)
 
         # --- next event estimation ---
+        rays = s["rays"]
         if static.n_lights > 0:
             nee = nee_contribution(scene, static, key, b, vertex, params, dir_view, used)
             radiance = s["radiance"] + s["throughput"] * nee
+            rays = rays + 1.0  # shadow ray
         else:
             radiance = s["radiance"]
+        rays = rays + 1.0  # scatter ray
 
         # --- BSDF sampling (reference: src/path_tracing.h:232-345) ---
         uv_b = rng.uniform(key, b, rng.SLOT_BSDF_UV, (2,))
@@ -219,7 +229,8 @@ def trace_path(scene: DeviceScene, static: SceneStatic, x, y, key):
             ),
             active=active,
             bounce=bounce + 1,
+            rays=rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
-    return out["radiance"]
+    return out["radiance"], out["rays"]
