@@ -1,0 +1,370 @@
+"""Gradient-domain path tracing (GDPT).
+
+The flagship integrator: for every sample, a base path at pixel (x, y)
+plus four shift-mapped offset paths at (x-1, y), (x+1, y), (x, y-1),
+(x, y+1) are traced *in lockstep in one program*, consuming the same
+random numbers (counter-based keys make this trivial; see core/rng.py).
+Algorithmic spec follows the record-then-replay decomposition of the
+reference's standalone prototype (reference: small_gdpt.cpp:153-352) and
+its lajolla integration (reference: src/path_tracing.h:354-1050,
+src/render.cpp:257-370):
+
+- offset paths are invalidated on primary miss or material mismatch
+  (reference: src/path_tracing.h:424-443);
+- at diffuse-diffuse vertices, the offset reconnects to the base path's
+  next vertex with a geometry-term-ratio Jacobian
+  (reference: small_gdpt.cpp:248-269, src/path_tracing.h:576-604);
+- otherwise the offset replays the base path's BSDF random numbers from
+  its own vertex with a pdf-ratio Jacobian ("random number reuse" shift,
+  reference: small_gdpt.cpp:272-279, src/path_tracing.h:780-959);
+- NEE is disabled; paths terminate at the first emissive hit
+  (reference: src/path_tracing.h:520, small_gdpt.cpp:183);
+- per-sample MIS weights w = p / (p + p_shift * J) combine the two
+  one-sided difference estimates of each gradient
+  (reference: small_gdpt.cpp:488-512, src/render.cpp:311-318);
+- the primal + 4 gradient buffers feed the screened-Poisson solve with
+  data weight alpha (reference: src/render.cpp:353, alpha = 0.04).
+
+Unlike the reference fork, no Russian roulette is applied inside the
+gradient estimator (the prototype uses a fixed depth cap, which keeps
+contrib/prob an unbiased pair; the fork's RR at
+src/path_tracing.h:992-999 drops paths without reweighting).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdpt_tpu.core import math as gm
+from gdpt_tpu.core import rng
+from gdpt_tpu.core.dtypes import BIG, INT, REAL
+from gdpt_tpu.ops import intersect as isect
+from gdpt_tpu.ops import lights as lgt
+from gdpt_tpu.ops import materials as mat
+from gdpt_tpu.ops import poisson
+from gdpt_tpu.scene import camera as gcam
+from gdpt_tpu.scene import model as M
+from gdpt_tpu.scene.build import DeviceScene, Scene, SceneStatic
+
+GDPT_MAX_DEPTH = 32  # reference: small_gdpt.cpp:15, intersection.h MAX_DEPTH
+
+# Offset order: x-1, x+1, y-1, y+1 (image space, y down).
+_OFFSETS = np.array([[-1, 0], [1, 0], [0, -1], [0, 1]], np.float32)
+
+
+class GdptSample(NamedTuple):
+    """Per-sample output: primal estimate and the 4 weighted one-sided
+    differences (the reference's GraidentPTRadiance after driver math,
+    reference: src/intersection.h:65-77, src/render.cpp:311-318)."""
+
+    primal: jnp.ndarray    # (3,)
+    gx_here: jnp.ndarray   # (3,) estimate of u[x] - u[x-1] stored at x
+    gx_next: jnp.ndarray   # (3,) estimate of u[x+1] - u[x] stored at x
+    gy_here: jnp.ndarray   # (3,)
+    gy_next: jnp.ndarray   # (3,)
+
+
+def _is_kind(scene: DeviceScene, static: SceneStatic, material_id, kind):
+    if kind not in static.used_material_kinds:
+        return jnp.asarray(False)
+    mid = jnp.maximum(material_id, 0)
+    return (material_id >= 0) & (scene.materials.kind[mid] == kind)
+
+
+def _geom_term(p0, n0, p1, n1):
+    """|cos0 cos1| / dist^2 between two surface points
+    (reference: small_gdpt.cpp:255-267)."""
+    d = p1 - p0
+    d2 = jnp.maximum(gm.length_squared(d), 1e-20)
+    dn = d / jnp.sqrt(d2)
+    return jnp.abs(gm.dot(dn, n1)) * jnp.abs(gm.dot(dn, n0)) / d2
+
+
+def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample:
+    w, h = static.width, static.height
+    used = static.used_material_kinds
+    md = static.options.max_depth
+    n_iters = GDPT_MAX_DEPTH if md < 0 else min(md, GDPT_MAX_DEPTH)
+
+    u_px = rng.uniform(key, 0, rng.SLOT_PIXEL, (2,))
+
+    def primary(px, py):
+        screen = jnp.stack([(px + u_px[0]) / w, (py + u_px[1]) / h])
+        org, d = gcam.sample_primary(
+            scene.camera, w, h, static.filter_kind, static.filter_param, screen
+        )
+        v = isect.intersect(scene, static, org, d, 0.0, BIG)
+        return v, d
+
+    base_v, base_d = primary(x, y)
+    offs = jnp.asarray(_OFFSETS)
+    off_v, off_d = jax.vmap(lambda o: primary(x + o[0], y + o[1]))(offs)
+
+    # Offset validity: hit + same material as base primary hit
+    # (reference: src/path_tracing.h:424-443).
+    off_valid = off_v.valid & (off_v.material_id == base_v.material_id)
+
+    state = dict(
+        base_v=base_v,
+        base_d=base_d,
+        contrib=jnp.ones(3, REAL),
+        prob=jnp.asarray(1.0, REAL),
+        off_v=off_v,
+        off_d=off_d,
+        off_valid=off_valid,
+        merged=jnp.zeros(4, bool),
+        off_contrib=jnp.ones((4, 3), REAL),
+        off_prob=jnp.ones(4, REAL),
+        jacob=jnp.ones(4, REAL),
+        active=base_v.valid,
+        done_light=jnp.asarray(False),
+        bounce=jnp.asarray(0, INT),
+    )
+
+    def cond(s):
+        return s["active"] & (s["bounce"] <= n_iters)
+
+    def body(s):
+        base_v = s["base_v"]
+        b = s["bounce"] + 1
+
+        # --- terminal check: base path reached an emitter ---
+        base_is_light = scene.shape_light_id[base_v.shape_id] >= 0
+        hit_light = s["active"] & base_is_light
+        emitted = lgt.emission_at_vertex(scene, static, base_v, -s["base_d"])
+        contrib = jnp.where(hit_light, s["contrib"] * emitted, s["contrib"])
+
+        def offset_light(ov_valid, merged, ov, od, oc):
+            # Merged offsets share the base's final vertex; replaying
+            # offsets must land on an emitter themselves
+            # (reference: small_gdpt.cpp:282-284).
+            o_emit = lgt.emission_at_vertex(scene, static, ov, -od)
+            o_is_light = scene.shape_light_id[ov.shape_id] >= 0
+            new_c = jnp.where(
+                merged, oc * emitted, jnp.where(o_is_light, oc * o_emit, oc)
+            )
+            new_valid = ov_valid & (merged | o_is_light)
+            return new_valid, jnp.where(hit_light, new_c, oc)
+
+        off_valid_l, off_contrib_l = jax.vmap(offset_light)(
+            s["off_valid"], s["merged"], s["off_v"], s["off_d"], s["off_contrib"]
+        )
+        off_valid = jnp.where(hit_light, off_valid_l, s["off_valid"])
+        off_contrib = off_contrib_l
+        done_light = s["done_light"] | hit_light
+
+        # --- extension (only when not terminal) ---
+        extend = s["active"] & ~base_is_light
+        dir_view = -s["base_d"]
+        params = mat.gather_params(scene, static, base_v)
+        uv_b = rng.uniform(key, b, rng.SLOT_BSDF_UV, (2,))
+        w_b = rng.uniform(key, b, rng.SLOT_BSDF_W)
+        samp = mat.sample_bsdf(params, dir_view, base_v, uv_b, w_b, used)
+        f_base = mat.eval_bsdf(params, dir_view, samp.dir_out, base_v, used)
+        pdf_base = mat.pdf_bsdf(params, dir_view, samp.dir_out, base_v, used)
+        nxt = isect.intersect(
+            scene, static, base_v.position, samp.dir_out,
+            static.intersection_epsilon, BIG,
+        )
+        ok_base = samp.valid & (pdf_base > 0) & nxt.valid
+        base_diffuse = _is_kind(scene, static, base_v.material_id, M.MAT_LAMBERTIAN)
+
+        def offset_step(ov_valid, merged, ov, od, oc, op, oj):
+            # Merged: follow the base factors
+            # (reference: src/path_tracing.h:774-778).
+            mc = oc * f_base
+            mp = op * pdf_base
+
+            o_params = mat.gather_params(scene, static, ov)
+            o_view = -od
+            o_diffuse = _is_kind(scene, static, ov.material_id, M.MAT_LAMBERTIAN)
+            can_reconnect = base_diffuse & o_diffuse & nxt.valid
+
+            # Reconnection to the base's next vertex
+            # (reference: small_gdpt.cpp:248-269).
+            to_next = nxt.position - ov.position
+            dist = jnp.maximum(gm.length(to_next), 1e-20)
+            dir_rec = to_next / dist
+            probe = isect.intersect(
+                scene, static, ov.position, dir_rec,
+                static.intersection_epsilon, BIG,
+            )
+            probe_ok = probe.valid & (probe.prim_id == nxt.prim_id)
+            f_rec = mat.eval_bsdf(o_params, o_view, dir_rec, ov, used)
+            pdf_rec = mat.pdf_bsdf(o_params, o_view, dir_rec, ov, used)
+            g_base = _geom_term(
+                base_v.position, base_v.geom_normal, nxt.position, nxt.geom_normal
+            )
+            g_shift = _geom_term(
+                ov.position, ov.geom_normal, nxt.position, nxt.geom_normal
+            )
+            rec_valid = probe_ok & (pdf_rec > 0)
+            rec_c = oc * f_rec
+            rec_p = op * pdf_rec
+            rec_j = oj * g_shift / jnp.maximum(g_base, 1e-20)
+
+            # Replay with the base's random numbers
+            # (reference: small_gdpt.cpp:272-279).
+            o_samp = mat.sample_bsdf(o_params, o_view, ov, uv_b, w_b, used)
+            f_rep = mat.eval_bsdf(o_params, o_view, o_samp.dir_out, ov, used)
+            pdf_rep = mat.pdf_bsdf(o_params, o_view, o_samp.dir_out, ov, used)
+            o_nxt = isect.intersect(
+                scene, static, ov.position, o_samp.dir_out,
+                static.intersection_epsilon, BIG,
+            )
+            rep_valid = (
+                o_samp.valid & (pdf_rep > 0) & o_nxt.valid
+                & (o_nxt.material_id == nxt.material_id)
+            )
+            rep_c = oc * f_rep
+            rep_p = op * pdf_rep
+            rep_j = oj * pdf_base / jnp.maximum(pdf_rep, 1e-20)
+
+            do_rec = can_reconnect & ~merged
+            new_merged = merged | do_rec
+            new_valid = ov_valid & jnp.where(
+                merged, True, jnp.where(do_rec, rec_valid, rep_valid)
+            )
+            pick3 = lambda m, a, b_: jnp.where(m, a, b_)
+            new_c = pick3(merged, mc, pick3(do_rec, rec_c, rep_c))
+            new_p = pick3(merged, mp, pick3(do_rec, rec_p, rep_p))
+            new_j = pick3(merged, oj, pick3(do_rec, rec_j, rep_j))
+            # Offset's current vertex: merged offsets ride the base vertex;
+            # replaying offsets move to their own next hit.
+            new_v = jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(new_merged, a, b_), nxt, o_nxt
+            )
+            new_d = jnp.where(new_merged, samp.dir_out, o_samp.dir_out)
+            # Select against no-op when this lane isn't extending or the
+            # offset is already invalid.
+            upd = extend & ov_valid
+            sel = lambda n, o: jnp.where(upd, n, o)
+            return (
+                jnp.where(upd, new_valid, ov_valid),
+                jnp.where(upd, new_merged, merged),
+                jax.tree_util.tree_map(lambda n, o: jnp.where(upd, n, o), new_v, ov),
+                sel(new_d, od),
+                sel(new_c, oc),
+                sel(new_p, op),
+                sel(new_j, oj),
+            )
+
+        (off_valid2, merged2, off_v2, off_d2, off_c2, off_p2, off_j2) = jax.vmap(
+            offset_step
+        )(off_valid, s["merged"], s["off_v"], s["off_d"], off_contrib,
+          s["off_prob"], s["jacob"])
+
+        new_contrib = jnp.where(extend & ok_base, contrib * f_base, contrib)
+        new_prob = jnp.where(extend & ok_base, s["prob"] * pdf_base, s["prob"])
+        new_base_v = jax.tree_util.tree_map(
+            lambda n, o: jnp.where(extend & ok_base, n, o), nxt, base_v
+        )
+        new_base_d = jnp.where(extend & ok_base, samp.dir_out, s["base_d"])
+
+        active = s["active"] & extend & ok_base
+
+        return dict(
+            base_v=new_base_v,
+            base_d=new_base_d,
+            contrib=new_contrib,
+            prob=new_prob,
+            off_v=off_v2,
+            off_d=off_d2,
+            off_valid=off_valid2,
+            merged=merged2,
+            off_contrib=off_c2,
+            off_prob=off_p2,
+            jacob=off_j2,
+            active=active,
+            done_light=done_light,
+            bounce=s["bounce"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    ok = out["done_light"] & (out["prob"] > 0)
+    prob = jnp.maximum(out["prob"], 1e-30)
+    primal = jnp.where(ok, out["contrib"] / prob, jnp.zeros(3, REAL))
+
+    # Per-offset weighted contributions
+    # (reference: src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507).
+    off_c = jnp.where(
+        out["off_valid"][:, None],
+        out["off_contrib"] * out["jacob"][:, None],
+        jnp.zeros((4, 3), REAL),
+    )
+    p_shift = out["off_prob"] * out["jacob"]
+    w_off = jnp.where(
+        out["off_valid"], out["prob"] / jnp.maximum(out["prob"] + p_shift, 1e-30), 1.0
+    )
+
+    def diff(i, sign):
+        # sign +1: (offset - base); -1: (base - offset)
+        d = sign * (off_c[i] - out["contrib"])
+        return jnp.where(ok, d * w_off[i] / prob, jnp.zeros(3, REAL))
+
+    # gx_here at x estimates u[x] - u[x-1]: base - offset(x-1).
+    return GdptSample(
+        primal=primal,
+        gx_here=diff(0, -1.0),
+        gx_next=diff(1, 1.0),
+        gy_here=diff(2, -1.0),
+        gy_next=diff(3, 1.0),
+    )
+
+
+def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
+    """GDPT render driver: accumulate primal + 4 gradient buffers, then
+    screened-Poisson reconstruct (reference: src/render.cpp:257-370)."""
+    from functools import partial
+
+    static = scene.static
+    w, h = static.width, static.height
+    spp = spp if spp is not None else static.options.samples_per_pixel
+    n_pix = w * h
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs_d = jnp.asarray(xs.ravel(), REAL)
+    ys_d = jnp.asarray(ys.ravel(), REAL)
+    pix = jnp.arange(n_pix, dtype=jnp.int32)
+
+    @partial(jax.jit, static_argnames=("n_samples",))
+    def gdpt_pass(device, sample0, n_samples):
+        base_key = jax.random.PRNGKey(seed)
+
+        def one_sample(s, acc):
+            def per_ray(x, y, p):
+                key = rng.ray_key(base_key, p * spp + sample0 + s)
+                return trace_gdpt(device, static, x, y, key)
+
+            out = jax.vmap(per_ray)(xs_d, ys_d, pix)
+            return jax.tree_util.tree_map(lambda a, o: a + o, acc, out)
+
+        zero = GdptSample(*(jnp.zeros((n_pix, 3), REAL) for _ in range(5)))
+        return jax.lax.fori_loop(0, n_samples, one_sample, zero)
+
+    # ~5x the rays of a plain path sample per GDPT sample.
+    batch = max(1, (1 << 18) // n_pix)
+    acc = [np.zeros((n_pix, 3), np.float64) for _ in range(5)]
+    done = 0
+    while done < spp:
+        n = min(batch, spp - done)
+        out = gdpt_pass(scene.device, done, n)
+        for i, a in enumerate(out):
+            acc[i] += np.asarray(a, np.float64)
+        done += n
+
+    primal, gxh, gxn, gyh, gyn = (
+        (a / spp).reshape(h, w, 3).astype(np.float32) for a in acc
+    )
+    gx, gy = poisson.assemble_gradients(
+        jnp.asarray(gxh), jnp.asarray(gxn), jnp.asarray(gyh), jnp.asarray(gyn)
+    )
+    recon = poisson.screened_poisson_solve(
+        jnp.asarray(primal), gx, gy, static.options.gdpt_alpha
+    )
+    recon = np.where(np.isfinite(recon), np.asarray(recon), 0.0).astype(np.float32)
+    if return_aux:
+        return recon, dict(primal=primal, gx=np.asarray(gx), gy=np.asarray(gy))
+    return recon

