@@ -48,3 +48,11 @@ def site_key(key, bounce, slot):
 def uniform(key, bounce, slot, shape=()):
     """Uniforms in [0, 1) for one use site of one bounce."""
     return jax.random.uniform(site_key(key, bounce, slot), shape)
+
+
+def loop_uniform(key, bounce, slot, iteration, shape=()):
+    """Uniforms for iteration `iteration` of an unbounded inner loop at a
+    use site (e.g. the null-collision free-flight loop, reference:
+    src/vol_path_tracing.h:1343-1403)."""
+    k = jax.random.fold_in(site_key(key, bounce, slot), iteration)
+    return jax.random.uniform(k, shape)

@@ -137,6 +137,7 @@ class SceneStatic:
     camera_medium_id: int
     media_phase_kinds: Tuple[int, ...]
     media_is_hetero: Tuple[bool, ...]
+    media_albedo_is_grid: Tuple[bool, ...]
     shadow_epsilon: float
     intersection_epsilon: float
     options: M.RenderOptions
@@ -312,7 +313,7 @@ def _build_volume(v) -> Tuple[VolumeArrays, bool]:
 
 
 def _build_media(media):
-    arrays, phase_kinds, is_hetero = [], [], []
+    arrays, phase_kinds, is_hetero, albedo_grid = [], [], [], []
     for m in media:
         g = jnp.asarray(getattr(m.phase, "g", 0.0), REAL)
         phase_kinds.append(m.phase.kind)
@@ -326,14 +327,16 @@ def _build_media(media):
                 )
             )
             is_hetero.append(False)
+            albedo_grid.append(False)
         else:
-            albedo, _ = _build_volume(m.albedo)
+            albedo, a_grid = _build_volume(m.albedo)
             density, _ = _build_volume(m.density)
             arrays.append(
                 MediumArrays(jnp.zeros(3, REAL), jnp.zeros(3, REAL), albedo, density, g)
             )
             is_hetero.append(True)
-    return tuple(arrays), tuple(phase_kinds), tuple(is_hetero)
+            albedo_grid.append(a_grid)
+    return tuple(arrays), tuple(phase_kinds), tuple(is_hetero), tuple(albedo_grid)
 
 
 # ---------------------------------------------------------------------------
@@ -549,7 +552,7 @@ def build_scene(
         env_dist,
     )
 
-    media_arrays, phase_kinds, media_hetero = _build_media(list(media))
+    media_arrays, phase_kinds, media_hetero, media_albedo_grid = _build_media(list(media))
 
     device = DeviceScene(
         geom=geom,
@@ -592,6 +595,7 @@ def build_scene(
         camera_medium_id=camera.medium_id,
         media_phase_kinds=phase_kinds,
         media_is_hetero=media_hetero,
+        media_albedo_is_grid=media_albedo_grid,
         shadow_epsilon=shadow_eps,
         intersection_epsilon=isect_eps,
         options=options,

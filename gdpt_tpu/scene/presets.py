@@ -131,6 +131,66 @@ def cornell_box(
     return build.build_scene(cam, materials, shapes, lights, options=opts)
 
 
+def volpath_scene(version=1, width=48, height=48, spp=16, max_depth=-1,
+                  sigma_a=(0.1, 0.1, 0.1), sigma_s=(0.7, 0.7, 0.7), g=0.0,
+                  hetero=False, grid_res=None, with_diffuse_sphere=False):
+    """Volumetric test scene family mirroring scenes/volpath_test/*.xml:
+    emissive spheres inside a global homogeneous (or grid) medium, camera
+    immersed in the medium."""
+    if g == 0.0:
+        phase = M.IsotropicPhase()
+    else:
+        phase = M.HenyeyGreenstein(g=g)
+    if hetero:
+        res = grid_res or 1
+        density = np.full((res, res, res, 3), np.asarray(sigma_a) + np.asarray(sigma_s), np.float32)
+        albedo = np.full(
+            (res, res, res, 3),
+            np.asarray(sigma_s) / (np.asarray(sigma_a) + np.asarray(sigma_s)),
+            np.float32,
+        )
+        medium = M.HeterogeneousMedium(
+            albedo=M.GridVolume(albedo, p_min=np.full(3, -50.0), p_max=np.full(3, 50.0)),
+            density=M.GridVolume(density, p_min=np.full(3, -50.0), p_max=np.full(3, 50.0)),
+            phase=phase,
+        )
+    else:
+        medium = M.HomogeneousMedium(
+            sigma_a=np.asarray(sigma_a), sigma_s=np.asarray(sigma_s), phase=phase
+        )
+
+    materials = [M.Lambertian(np.zeros(3)), M.Lambertian(np.full(3, 0.6))]
+    shapes = [
+        M.Sphere(center=np.array([0.0, 0.0, 0.0]), radius=1.0,
+                 material_id=0, area_light_id=0, exterior_medium_id=0),
+        M.Sphere(center=np.array([-3.0, 0.0, -1.5]), radius=1.0,
+                 material_id=0, area_light_id=1, exterior_medium_id=0),
+    ]
+    lights = [
+        M.DiffuseAreaLight(0, np.array([0.4, 2.32, 3.2])),
+        M.DiffuseAreaLight(1, np.array([24.0, 10.0, 24.0])),
+    ]
+    if with_diffuse_sphere:
+        shapes.append(
+            M.Sphere(center=np.array([2.5, 0.0, 0.5]), radius=1.0,
+                     material_id=1, exterior_medium_id=0)
+        )
+    cam = M.Camera(
+        cam_to_world=xf.look_at([0, 0, -3], [0, 0, 0], [0, 1, 0]),
+        fov=45.0,
+        width=width,
+        height=height,
+        filter_kind=FILTER_GAUSSIAN,
+        filter_param=0.5,
+        medium_id=0,
+    )
+    opts = M.RenderOptions(
+        integrator="volpath", samples_per_pixel=spp, max_depth=max_depth,
+        vol_path_version=version,
+    )
+    return build.build_scene(cam, materials, shapes, lights, [medium], options=opts)
+
+
 def furnace_sphere(albedo=1.0, emission=1.0, width=64, height=64, spp=16,
                    max_depth=-1):
     """Furnace test: a Lambertian sphere under a constant environment map.
