@@ -15,8 +15,8 @@ import numpy as np
 
 _EXR_MAGIC = b"\x76\x2f\x31\x01"
 _PT_UINT, _PT_HALF, _PT_FLOAT = 0, 1, 2
-_NO_COMPRESSION, _RLE, _ZIPS, _ZIP = 0, 1, 2, 3
-_LINES_PER_BLOCK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16}
+_NO_COMPRESSION, _RLE, _ZIPS, _ZIP, _PIZ = 0, 1, 2, 3, 4
+_LINES_PER_BLOCK = {_NO_COMPRESSION: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32}
 
 
 def _read_cstr(buf, pos):
@@ -104,7 +104,12 @@ def read_exr(filename):
         expect = sum(
             w * ny * np.dtype(dtypes[pt]).itemsize for _, pt in channels
         )
-        if compression != _NO_COMPRESSION and dsize < expect:
+        if compression == _PIZ:
+            if dsize < expect:
+                from gdpt_tpu.core import exr_piz
+
+                raw = exr_piz.piz_uncompress(raw, channels_sorted, w, ny, dtypes)
+        elif compression != _NO_COMPRESSION and dsize < expect:
             raw = _exr_unpredict(zlib.decompress(raw))
         cpos = 0
         for line in range(ny):

@@ -778,15 +778,28 @@ class _Parser:
         self.options = M.RenderOptions(**{**self.options.__dict__, **kw})
 
 
-def parse_scene(filename, force_bvh=False):
+def parse_scene(filename, force_bvh=False, width=None, height=None, spp=None):
     """Parse a Mitsuba-dialect XML file into a frozen device Scene
-    (reference: parse_scene.cpp:1615-1639). Returns (Scene, output_filename)."""
+    (reference: parse_scene.cpp:1615-1639). Returns (Scene, output_filename).
+    width/height/spp optionally override the scene's film settings."""
     tree = ET.parse(filename)
     root = tree.getroot()
     p = _Parser(filename)
     p.parse(root)
     if p.camera is None:
         raise ParseError("scene has no sensor")
+    if width or height:
+        from dataclasses import replace
+
+        p.camera = replace(
+            p.camera,
+            width=width or p.camera.width,
+            height=height or p.camera.height,
+        )
+    if spp:
+        p.options = M.RenderOptions(
+            **{**p.options.__dict__, "samples_per_pixel": spp}
+        )
     scene = build.build_scene(
         p.camera, p.materials, p.shapes, p.lights, p.media,
         options=p.options, force_bvh=force_bvh,
