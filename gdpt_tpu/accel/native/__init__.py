@@ -18,7 +18,18 @@ def _load():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libgdpt_bvh.so")
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "libgdpt_bvh.so")
+    if not os.path.exists(path):
+        # Build on first use (g++ is part of the toolchain contract).
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", here], capture_output=True, timeout=120, check=False
+            )
+        except Exception:
+            return None
     if not os.path.exists(path):
         return None
     lib = ctypes.CDLL(path)
