@@ -1,0 +1,298 @@
+"""Batched (SoA) ray casting — the TPU performance twin of traverse.py.
+
+All ray state lives in (N,) component arrays (see core/soa.py). Two
+backends, same contract as the per-ray versions:
+
+- brute force: triangles broadcast against rays as (T, N) lanes-minor
+  intermediates. Optimal for small scenes (everything fuses on the VPU).
+- BVH: lockstep stackless traversal; every lane carries its own node
+  pointer into the flat miss-link tree; gathers are (N,)-shaped.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdpt_tpu.core import soa
+from gdpt_tpu.core.dtypes import BIG, INT, REAL
+from gdpt_tpu.core.soa import V3
+
+
+class GeomSoA(NamedTuple):
+    """Component-transposed geometry view (built once per render)."""
+
+    tri_v0: V3
+    tri_e1: V3
+    tri_e2: V3
+    sph_center: V3
+    sph_radius: jnp.ndarray
+    bvh_bmin: V3
+    bvh_bmax: V3
+    bvh_first: jnp.ndarray
+    bvh_count: jnp.ndarray
+    bvh_miss: jnp.ndarray
+    bvh_prim_order: jnp.ndarray
+
+
+def geom_soa_from_aos(geom) -> GeomSoA:
+    return GeomSoA(
+        soa.from_rows(geom.tri_v0),
+        soa.from_rows(geom.tri_e1),
+        soa.from_rows(geom.tri_e2),
+        soa.from_rows(geom.sph_center) if geom.sph_center.shape[0] else soa.V3(
+            jnp.zeros(1, REAL), jnp.zeros(1, REAL), jnp.zeros(1, REAL)
+        ),
+        geom.sph_radius if geom.sph_radius.shape[0] else jnp.ones(1, REAL),
+        soa.from_rows(geom.bvh_bbox_min) if geom.bvh_bbox_min.shape[0] else soa.V3(
+            jnp.zeros(1, REAL), jnp.zeros(1, REAL), jnp.zeros(1, REAL)
+        ),
+        soa.from_rows(geom.bvh_bbox_max) if geom.bvh_bbox_max.shape[0] else soa.V3(
+            jnp.zeros(1, REAL), jnp.zeros(1, REAL), jnp.zeros(1, REAL)
+        ),
+        geom.bvh_first,
+        geom.bvh_count,
+        geom.bvh_miss,
+        geom.bvh_prim_order,
+    )
+
+
+class HitSoA(NamedTuple):
+    t: jnp.ndarray
+    prim_id: jnp.ndarray
+    u: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def valid(self):
+        return self.prim_id >= 0
+
+
+def _tri_test_rows(g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    """All triangles x all rays: (T, N) intermediates, rays minor."""
+    v0 = soa.V3(g.tri_v0.x[:, None], g.tri_v0.y[:, None], g.tri_v0.z[:, None])
+    e1 = soa.V3(g.tri_e1.x[:, None], g.tri_e1.y[:, None], g.tri_e1.z[:, None])
+    e2 = soa.V3(g.tri_e2.x[:, None], g.tri_e2.y[:, None], g.tri_e2.z[:, None])
+    o = soa.V3(org.x[None, :], org.y[None, :], org.z[None, :])
+    dd = soa.V3(d.x[None, :], d.y[None, :], d.z[None, :])
+    pvec = soa.cross(dd, e2)
+    det = soa.dot(e1, pvec)
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    tvec = o - v0
+    u = soa.dot(tvec, pvec) * inv_det
+    qvec = soa.cross(tvec, e1)
+    v = soa.dot(dd, qvec) * inv_det
+    t = soa.dot(e2, qvec) * inv_det
+    hit = (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= tnear) & (t < tfar)
+    return t, u, v, hit
+
+
+def _sphere_test_rows(g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    c = soa.V3(g.sph_center.x[:, None], g.sph_center.y[:, None], g.sph_center.z[:, None])
+    r = g.sph_radius[:, None]
+    o = soa.V3(org.x[None, :], org.y[None, :], org.z[None, :])
+    dd = soa.V3(d.x[None, :], d.y[None, :], d.z[None, :])
+    v = o - c
+    a = soa.dot(dd, dd)
+    b = 2.0 * soa.dot(dd, v)
+    cc = soa.dot(v, v) - r * r
+    disc = b * b - 4.0 * a * cc
+    root = jnp.sqrt(jnp.maximum(disc, 0.0))
+    q = jnp.where(b >= 0.0, -b - root, -b + root)
+    safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
+    t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * cc, q))
+    t1 = jnp.where(b >= 0.0, safe(2.0 * cc, q), safe(q, 2.0 * a))
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    use_lo = (tlo >= tnear) & (tlo < tfar)
+    use_hi = (thi >= tnear) & (thi < tfar)
+    t = jnp.where(use_lo, tlo, thi)
+    hit = (disc >= 0) & (a != 0) & (use_lo | use_hi)
+    return t, hit
+
+
+def intersect_brute_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    n = org.x.shape[0]
+    best_t = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,)) if jnp.ndim(tfar) == 0 else tfar
+    best_prim = jnp.full(n, -1, INT)
+    best_u = jnp.zeros(n, REAL)
+    best_v = jnp.zeros(n, REAL)
+    if static.n_tris:
+        t, u, v, hit = _tri_test_rows(g, org, d, tnear, best_t)
+        t = jnp.where(hit, t, BIG)
+        i = jnp.argmin(t, axis=0)
+        lane = jnp.arange(n)
+        ti = t[i, lane]
+        closer = ti < best_t
+        best_t = jnp.where(closer, ti, best_t)
+        best_prim = jnp.where(closer, i.astype(INT), best_prim)
+        best_u = jnp.where(closer, u[i, lane], best_u)
+        best_v = jnp.where(closer, v[i, lane], best_v)
+    if static.n_spheres:
+        t, hit = _sphere_test_rows(g, org, d, tnear, best_t)
+        t = jnp.where(hit, t, BIG)
+        i = jnp.argmin(t, axis=0)
+        lane = jnp.arange(n)
+        ti = t[i, lane]
+        closer = ti < best_t
+        best_t = jnp.where(closer, ti, best_t)
+        best_prim = jnp.where(closer, (static.n_tris + i).astype(INT), best_prim)
+    return HitSoA(best_t, best_prim, best_u, best_v)
+
+
+def occluded_brute_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    n = org.x.shape[0]
+    blocked = jnp.zeros(n, bool)
+    if static.n_tris:
+        _, _, _, hit = _tri_test_rows(g, org, d, tnear, tfar)
+        blocked |= jnp.any(hit, axis=0)
+    if static.n_spheres:
+        _, hit = _sphere_test_rows(g, org, d, tnear, tfar)
+        blocked |= jnp.any(hit, axis=0)
+    return blocked
+
+
+# ---------------------------------------------------------------------------
+# Batched BVH traversal
+# ---------------------------------------------------------------------------
+
+_LEAF_SIZE = 4
+
+
+def _test_prim_soa(static, g: GeomSoA, prim, org: V3, d: V3, tnear, tfar):
+    n_tri = static.n_tris
+    n_sph = static.n_spheres
+    zero = jnp.zeros_like(tfar)
+
+    def tri_branch(pid):
+        tid = jnp.clip(pid, 0, max(n_tri - 1, 0))
+        v0 = soa.gather(g.tri_v0, tid)
+        e1 = soa.gather(g.tri_e1, tid)
+        e2 = soa.gather(g.tri_e2, tid)
+        pvec = soa.cross(d, e2)
+        det = soa.dot(e1, pvec)
+        inv = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+        tvec = org - v0
+        u = soa.dot(tvec, pvec) * inv
+        qvec = soa.cross(tvec, e1)
+        v = soa.dot(d, qvec) * inv
+        t = soa.dot(e2, qvec) * inv
+        hit = (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= tnear) & (t < tfar)
+        return t, u, v, hit
+
+    def sph_branch(pid):
+        sid = jnp.clip(pid - n_tri, 0, max(n_sph - 1, 0))
+        c = soa.gather(g.sph_center, sid)
+        r = g.sph_radius[sid]
+        vv = org - c
+        a = soa.dot(d, d)
+        b = 2.0 * soa.dot(d, vv)
+        cc = soa.dot(vv, vv) - r * r
+        disc = b * b - 4.0 * a * cc
+        root = jnp.sqrt(jnp.maximum(disc, 0.0))
+        q = jnp.where(b >= 0.0, -b - root, -b + root)
+        safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
+        t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * cc, q))
+        t1 = jnp.where(b >= 0.0, safe(2.0 * cc, q), safe(q, 2.0 * a))
+        tlo = jnp.minimum(t0, t1)
+        thi = jnp.maximum(t0, t1)
+        use_lo = (tlo >= tnear) & (tlo < tfar)
+        use_hi = (thi >= tnear) & (thi < tfar)
+        t = jnp.where(use_lo, tlo, thi)
+        hit = (disc >= 0) & (a != 0) & (use_lo | use_hi)
+        return t, hit
+
+    if n_tri and n_sph:
+        tt, u, v, th = tri_branch(prim)
+        ts, sh = sph_branch(prim)
+        is_tri = prim < n_tri
+        return (
+            jnp.where(is_tri, tt, ts),
+            jnp.where(is_tri, u, zero),
+            jnp.where(is_tri, v, zero),
+            jnp.where(is_tri, th, sh),
+        )
+    if n_tri:
+        return tri_branch(prim)
+    t, hit = sph_branch(prim)
+    return t, zero, zero, hit
+
+
+def intersect_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    n = org.x.shape[0]
+    n_nodes = g.bvh_count.shape[0]
+    inv = V3(
+        1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+        1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+        1.0 / jnp.where(d.z == 0, 1e-20, d.z),
+    )
+    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
+    tfar0 = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+
+    def cond(s):
+        return jnp.any(s["node"] < n_nodes)
+
+    def body(s):
+        node = jnp.minimum(s["node"], n_nodes - 1)
+        active = s["node"] < n_nodes
+        bmin = soa.gather(g.bvh_bmin, node)
+        bmax = soa.gather(g.bvh_bmax, node)
+        t0x = (bmin.x - org.x) * inv.x
+        t1x = (bmax.x - org.x) * inv.x
+        t0y = (bmin.y - org.y) * inv.y
+        t1y = (bmax.y - org.y) * inv.y
+        t0z = (bmin.z - org.z) * inv.z
+        t1z = (bmax.z - org.z) * inv.z
+        t_in = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tnear),
+        )
+        t_out = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), s["t"]),
+        )
+        hit_box = t_in <= t_out
+        count = g.bvh_count[node]
+        is_leaf = count > 0
+        test_leaf = active & hit_box & is_leaf
+        best_t, best_prim, best_u, best_v = s["t"], s["prim"], s["u"], s["v"]
+        first = g.bvh_first[node]
+        for j in range(_LEAF_SIZE):
+            slot = jnp.clip(first + j, 0, g.bvh_prim_order.shape[0] - 1)
+            prim = g.bvh_prim_order[slot]
+            t, u, v, hit = _test_prim_soa(static, g, prim, org, d, tnear, best_t)
+            take = test_leaf & (j < count) & hit & (t < best_t)
+            best_t = jnp.where(take, t, best_t)
+            best_prim = jnp.where(take, prim, best_prim)
+            best_u = jnp.where(take, u, best_u)
+            best_v = jnp.where(take, v, best_v)
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, g.bvh_miss[node])
+        nxt = jnp.where(active, nxt, s["node"])
+        return dict(node=nxt, t=best_t, prim=best_prim, u=best_u, v=best_v)
+
+    state = dict(
+        node=jnp.zeros(n, INT),
+        t=tfar0,
+        prim=jnp.full(n, -1, INT),
+        u=jnp.zeros(n, REAL),
+        v=jnp.zeros(n, REAL),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return HitSoA(out["t"], out["prim"], out["u"], out["v"])
+
+
+def occluded_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    hit = intersect_bvh_soa(static, g, org, d, tnear, tfar)
+    return hit.prim_id >= 0
+
+
+def intersect_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    if static.use_brute_force:
+        return intersect_brute_soa(static, g, org, d, tnear, tfar)
+    return intersect_bvh_soa(static, g, org, d, tnear, tfar)
+
+
+def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    if static.use_brute_force:
+        return occluded_brute_soa(static, g, org, d, tnear, tfar)
+    return occluded_bvh_soa(static, g, org, d, tnear, tfar)

@@ -1,0 +1,604 @@
+"""Batched (SoA) surface path tracer — the performance twin of path.py.
+
+Same transport as integrators/path.py (NEE + power-2 MIS + Russian
+roulette, reference: src/path_tracing.h:13-348) but written directly in
+batch form over (N,) component arrays so every elementwise op fills the
+TPU's VPU lanes (see core/soa.py). Cross-validated against the per-ray
+implementation in tests/test_soa.py.
+
+Coverage: Lambertian surfaces with constant/checkerboard reflectance,
+mesh + sphere area lights, constant and image environment maps. Scenes
+outside this envelope fall back to the per-ray integrator
+(render.py picks automatically via supports_soa()).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdpt_tpu.accel import traverse_soa as trs
+from gdpt_tpu.core import soa
+from gdpt_tpu.core.dtypes import BIG, INT, REAL
+from gdpt_tpu.core.soa import V3
+from gdpt_tpu.scene import model as M
+from gdpt_tpu.scene.build import LIGHT_ENVMAP, SHAPE_MESH, SHAPE_SPHERE, Scene
+from gdpt_tpu.scene import textures as tex
+
+HARD_BOUNCE_CAP = 64
+
+# RNG use-site counters (stride 16 per bounce; each call yields 2 values).
+_CTR_PIXEL = 0
+_CTR_LIGHT_UV = 1
+_CTR_LIGHT_W = 2
+_CTR_BSDF_UV = 3
+_CTR_BSDF_W = 4
+
+_CTR_STRIDE = 16
+
+
+class SceneSoA(NamedTuple):
+    geom: trs.GeomSoA
+    vtx_pos: V3
+    vtx_normal: V3
+    vtx_uv_u: jnp.ndarray
+    vtx_uv_v: jnp.ndarray
+    tri_i0: jnp.ndarray
+    tri_i1: jnp.ndarray
+    tri_i2: jnp.ndarray
+    tri_shape_id: jnp.ndarray
+    tri_has_normals: jnp.ndarray
+    sph_shape_id: jnp.ndarray
+    shape_kind: jnp.ndarray
+    shape_material_id: jnp.ndarray
+    shape_light_id: jnp.ndarray
+    shape_area: jnp.ndarray
+    shape_prim_offset: jnp.ndarray
+    # materials: constant reflectance per material (checker via 2 colors)
+    mat_refl_kind: jnp.ndarray  # TEX_CONST / TEX_CHECKER
+    mat_refl0: V3
+    mat_refl1: V3
+    mat_uscale: jnp.ndarray
+    mat_vscale: jnp.ndarray
+    mat_uoffset: jnp.ndarray
+    mat_voffset: jnp.ndarray
+    # lights
+    light_kind: jnp.ndarray
+    light_shape_id: jnp.ndarray
+    light_intensity: V3
+    light_tri_cdf: jnp.ndarray
+    light_tri_first: jnp.ndarray
+    light_pmf: jnp.ndarray
+    light_cdf: jnp.ndarray
+    env_value: V3  # constant envmap radiance * scale
+
+
+def supports_soa(scene: Scene) -> bool:
+    """The SoA fast path covers Lambertian-only scenes without image
+    textures and with constant (or absent) envmaps."""
+    static = scene.static
+    if static.options.integrator != "path":
+        return False
+    if set(static.used_material_kinds) - {M.MAT_LAMBERTIAN}:
+        return False
+    kinds = np.asarray(scene.device.materials.refl.kind)
+    if (kinds == tex.TEX_IMAGE).any():
+        return False
+    if static.has_envmap:
+        env_kind = int(np.asarray(scene.device.envmap.tex.kind)[0])
+        if env_kind != tex.TEX_CONST:
+            return False
+        if not np.allclose(np.asarray(scene.device.envmap.to_world), np.eye(4)):
+            return False
+    return True
+
+
+def scene_soa_from_aos(scene: Scene) -> SceneSoA:
+    dev = scene.device
+    mt = dev.materials
+    env_rgb = dev.envmap.tex.value[0] * dev.envmap.scale
+    return SceneSoA(
+        geom=trs.geom_soa_from_aos(dev.geom),
+        vtx_pos=soa.from_rows(dev.vtx_pos),
+        vtx_normal=soa.from_rows(dev.vtx_normal),
+        vtx_uv_u=dev.vtx_uv[:, 0],
+        vtx_uv_v=dev.vtx_uv[:, 1],
+        tri_i0=dev.tri_index[:, 0],
+        tri_i1=dev.tri_index[:, 1],
+        tri_i2=dev.tri_index[:, 2],
+        tri_shape_id=dev.geom.tri_shape_id,
+        tri_has_normals=dev.tri_has_normals,
+        sph_shape_id=dev.geom.sph_shape_id,
+        shape_kind=dev.shape_kind,
+        shape_material_id=dev.shape_material_id,
+        shape_light_id=dev.shape_light_id,
+        shape_area=dev.shape_area,
+        shape_prim_offset=dev.shape_prim_offset,
+        mat_refl_kind=mt.refl.kind,
+        mat_refl0=soa.from_rows(mt.refl.value),
+        mat_refl1=soa.from_rows(mt.refl.value2),
+        mat_uscale=mt.refl.uscale,
+        mat_vscale=mt.refl.vscale,
+        mat_uoffset=mt.refl.uoffset,
+        mat_voffset=mt.refl.voffset,
+        light_kind=dev.lights.kind,
+        light_shape_id=dev.lights.shape_id,
+        light_intensity=soa.from_rows(dev.lights.intensity),
+        light_tri_cdf=dev.lights.tri_cdf,
+        light_tri_first=dev.lights.tri_first,
+        light_pmf=dev.lights.pmf,
+        light_cdf=dev.lights.cdf,
+        env_value=soa.V3(env_rgb[0], env_rgb[1], env_rgb[2]),
+    )
+
+
+class VertexSoA(NamedTuple):
+    position: V3
+    gn: V3           # geometric normal, flipped toward shading normal
+    frame: soa.Frame
+    uv_u: jnp.ndarray
+    uv_v: jnp.ndarray
+    shape_id: jnp.ndarray
+    material_id: jnp.ndarray
+    light_id: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSoA:
+    """Batched hit -> vertex (reference: src/intersection.cpp:7-64)."""
+    position = org + d * hit.t
+    prim = jnp.maximum(hit.prim_id, 0)
+    n = prim.shape[0]
+    gn = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.ones(n, REAL))
+    sn = gn
+    shape_id = jnp.zeros(n, INT)
+    uv_u = hit.u
+    uv_v = hit.v
+    if static.n_tris:
+        tid = jnp.clip(prim, 0, static.n_tris - 1)
+        e1 = soa.gather(sc.geom.tri_e1, tid)
+        e2 = soa.gather(sc.geom.tri_e2, tid)
+        gn_tri = soa.normalize(soa.cross(e1, e2))
+        i0 = sc.tri_i0[tid]
+        i1 = sc.tri_i1[tid]
+        i2 = sc.tri_i2[tid]
+        has_n = sc.tri_has_normals[tid]
+        b1 = hit.u
+        b2 = hit.v
+        b0 = 1.0 - b1 - b2
+        n_interp = soa.normalize(
+            soa.gather(sc.vtx_normal, i0) * b0
+            + soa.gather(sc.vtx_normal, i1) * b1
+            + soa.gather(sc.vtx_normal, i2) * b2
+        )
+        sn_tri = soa.where(has_n, n_interp, gn_tri)
+        gn = gn_tri
+        sn = sn_tri
+        shape_id = sc.tri_shape_id[tid]
+    if static.n_spheres:
+        sid = jnp.clip(prim - static.n_tris, 0, static.n_spheres - 1)
+        center = soa.gather(sc.geom.sph_center, sid)
+        gn_s = soa.normalize(position - center)
+        is_sph = prim >= static.n_tris if static.n_tris else jnp.ones(n, bool)
+        gn = soa.where(is_sph, gn_s, gn)
+        sn = soa.where(is_sph, gn_s, sn)
+        shape_id = jnp.where(is_sph, sc.sph_shape_id[sid], shape_id)
+    frame = soa.coordinate_system(sn)
+    flip = soa.dot(gn, sn) < 0
+    gn = soa.where(flip, -gn, gn)
+    return VertexSoA(
+        position=position,
+        gn=gn,
+        frame=frame,
+        uv_u=uv_u,
+        uv_v=uv_v,
+        shape_id=shape_id,
+        material_id=sc.shape_material_id[shape_id],
+        light_id=sc.shape_light_id[shape_id],
+        valid=hit.prim_id >= 0,
+    )
+
+
+def reflectance(sc: SceneSoA, v: VertexSoA) -> V3:
+    """Lambertian reflectance slot: constant or checkerboard."""
+    mid = jnp.maximum(v.material_id, 0)
+    c0 = soa.gather(sc.mat_refl0, mid)
+    kind = sc.mat_refl_kind[mid]
+    c1 = soa.gather(sc.mat_refl1, mid)
+    lu = jnp.mod(v.uv_u * sc.mat_uscale[mid] + sc.mat_uoffset[mid], 1.0)
+    lv = jnp.mod(v.uv_v * sc.mat_vscale[mid] + sc.mat_voffset[mid], 1.0)
+    cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
+    cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
+    checker = soa.where(cx * cy == 1, c0, c1)
+    return soa.where(kind == tex.TEX_CHECKER, checker, c0)
+
+
+def emission(sc: SceneSoA, v: VertexSoA, view_dir: V3) -> V3:
+    """Area-light emission toward view_dir (zero for non-lights)."""
+    lid = jnp.maximum(v.light_id, 0)
+    intensity = soa.gather(sc.light_intensity, lid)
+    facing = soa.dot(v.gn, view_dir) > 0
+    ok = (v.light_id >= 0) & facing
+    zero = jnp.zeros_like(intensity.x)
+    return soa.where(ok, intensity, V3(zero, zero, zero))
+
+
+def _sample_cos_hemisphere(frame: soa.Frame, u0, u1) -> V3:
+    phi = 2.0 * jnp.pi * u0
+    r = jnp.sqrt(u1)
+    local = V3(r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.clip(1.0 - u1, 0.0, 1.0)))
+    return soa.to_world(frame, local)
+
+
+def _searchsorted_cdf(cdf_row, u):
+    """Per-lane searchsorted over gathered cdf rows (N, K)."""
+    return jnp.sum(cdf_row <= u[:, None], axis=1) - 1
+
+
+def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
+    """Power-weighted light pick + point sample; returns
+    (light_id, pos, normal, pdf_area, is_env)."""
+    n = u0.shape[0]
+    light_id = jnp.clip(
+        jnp.searchsorted(sc.light_cdf, uw, side="right") - 1, 0, sc.light_pmf.shape[0] - 1
+    ).astype(INT)
+    shape_id = jnp.maximum(sc.light_shape_id[light_id], 0)
+    pos = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.zeros(n, REAL))
+    nrm = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.ones(n, REAL))
+    pdf = jnp.zeros(n, REAL)
+    if static.any_mesh_light:
+        cdf_rows = sc.light_tri_cdf[light_id]
+        local_tri = jnp.clip(
+            _searchsorted_cdf(cdf_rows, us), 0, sc.light_tri_cdf.shape[1] - 2
+        )
+        tri = jnp.clip(
+            sc.light_tri_first[light_id] + local_tri.astype(INT),
+            0, max(static.n_tris - 1, 0),
+        )
+        i0 = sc.tri_i0[tri]
+        v0 = soa.gather(sc.vtx_pos, i0)
+        e1 = soa.gather(sc.geom.tri_e1, tri)
+        e2 = soa.gather(sc.geom.tri_e2, tri)
+        a = jnp.sqrt(jnp.clip(u0, 0.0, 1.0))
+        b1 = 1.0 - a
+        b2 = a * u1
+        gn = soa.normalize(soa.cross(e1, e2))
+        has_n = sc.tri_has_normals[tri]
+        i1 = sc.tri_i1[tri]
+        i2 = sc.tri_i2[tri]
+        sn = soa.normalize(
+            soa.gather(sc.vtx_normal, i0) * (1 - b1 - b2)
+            + soa.gather(sc.vtx_normal, i1) * b1
+            + soa.gather(sc.vtx_normal, i2) * b2
+        )
+        gn = soa.where(has_n & (soa.dot(gn, sn) < 0), -gn, gn)
+        p_mesh = v0 + e1 * b1 + e2 * b2
+        is_mesh = sc.shape_kind[shape_id] == SHAPE_MESH
+        pos = soa.where(is_mesh, p_mesh, pos)
+        nrm = soa.where(is_mesh, gn, nrm)
+        pdf = jnp.where(is_mesh, 1.0 / jnp.maximum(sc.shape_area[shape_id], 1e-20), pdf)
+    if static.any_sphere_light:
+        sph = sc.shape_prim_offset[shape_id]
+        center = soa.gather(sc.geom.sph_center, sph)
+        r = sc.geom.sph_radius[sph]
+        to_c = center - ref
+        d2 = soa.length_squared(to_c)
+        inside = d2 < r * r
+        # Inside: uniform sphere.
+        z = 1.0 - 2.0 * u0
+        rr = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+        phi = 2.0 * jnp.pi * u1
+        n_in = V3(rr * jnp.cos(phi), rr * jnp.sin(phi), z)
+        # Outside: cone sampling (reference: src/shapes/sphere.inl:164-238).
+        dirc = soa.normalize(to_c)
+        fr = soa.coordinate_system(dirc)
+        sin2max = r * r / jnp.maximum(d2, 1e-20)
+        cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+        cos_e = (1.0 - u0) + u0 * cos_max
+        sin_e = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_e * cos_e))
+        azim = u1 * 2.0 * jnp.pi
+        dc = jnp.sqrt(jnp.maximum(d2, 1e-20))
+        ds = dc * cos_e - jnp.sqrt(jnp.maximum(0.0, r * r - dc * dc * sin_e * sin_e))
+        cos_a = (dc * dc + r * r - ds * ds) / jnp.maximum(2.0 * dc * r, 1e-20)
+        sin_a = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_a * cos_a))
+        n_out = -1.0 * soa.to_world(
+            fr, V3(sin_a * jnp.cos(azim), sin_a * jnp.sin(azim), cos_a)
+        )
+        n_s = soa.where(inside, n_in, n_out)
+        p_s = center + n_s * r
+        pdf_uniform = 1.0 / jnp.maximum(sc.shape_area[shape_id], 1e-20)
+        pdf_cone_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-20)
+        dl = soa.normalize(p_s - ref)
+        pdf_cone = pdf_cone_sa * jnp.abs(soa.dot(n_s, dl)) / jnp.maximum(
+            soa.length_squared(p_s - ref), 1e-20
+        )
+        pdf_s = jnp.where(inside, pdf_uniform, pdf_cone)
+        is_sph = sc.shape_kind[shape_id] == SHAPE_SPHERE
+        pos = soa.where(is_sph, p_s, pos)
+        nrm = soa.where(is_sph, n_s, nrm)
+        pdf = jnp.where(is_sph, pdf_s, pdf)
+    is_env = jnp.zeros(n, bool)
+    if static.has_envmap:
+        # Constant envmap: uniform-uv sampling over the dummy 2x2 table,
+        # direction pdf = 1 / (2 pi^2 sin(elev)) (reference: envmap.inl:22-42).
+        azimuth = u0 * 2.0 * jnp.pi
+        elevation = u1 * jnp.pi
+        wdir = V3(
+            jnp.sin(azimuth) * jnp.sin(elevation),
+            jnp.cos(elevation),
+            -jnp.cos(azimuth) * jnp.sin(elevation),
+        )
+        sin_e = jnp.sin(elevation)
+        env = sc.light_kind[light_id] == LIGHT_ENVMAP
+        pos = soa.where(env, V3(*(jnp.zeros(n, REAL),) * 3), pos)
+        nrm = soa.where(env, -1.0 * wdir, nrm)
+        pdf = jnp.where(
+            env,
+            jnp.where(sin_e > 0, 1.0 / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0),
+            pdf,
+        )
+        is_env = env
+    return light_id, pos, nrm, pdf, is_env
+
+
+def envmap_pdf_for_dir(static, sc: SceneSoA, d: V3):
+    """pdf of the constant-envmap NEE sampler for direction d."""
+    sin_e = jnp.sqrt(jnp.maximum(0.0, 1.0 - d.y * d.y))
+    return jnp.where(
+        sin_e > 0, 1.0 / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0
+    )
+
+
+def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
+    """One sample for every ray in the batch; returns (radiance V3, rays)."""
+    static = scene.static
+    w, h = static.width, static.height
+    n = xs.shape[0]
+    n_iters = HARD_BOUNCE_CAP if static.options.max_depth < 0 else max(
+        static.options.max_depth - 1, 0
+    )
+
+    def uni2(bounce, ctr):
+        return soa.uniform2(seed, ray_idx, sample0 * 131071 + bounce * _CTR_STRIDE + ctr)
+
+    # Primary ray with filter importance sampling
+    # (reference: src/camera.cpp:23-47).
+    u0, u1 = uni2(0, _CTR_PIXEL)
+    from gdpt_tpu.scene import filters as gfilters
+
+    pix = jnp.stack([xs + u0, ys + u1], axis=-1) / jnp.asarray([w, h], REAL)
+    pixel = pix * jnp.asarray([w, h], REAL)
+    frac = pixel - jnp.floor(pixel)
+    offset = gfilters.sample_filter(static.filter_kind, static.filter_param, frac)
+    remapped = (jnp.floor(pixel) + 0.5 + offset) / jnp.asarray([w, h], REAL)
+    cam = scene.device.camera
+    m = cam.sample_to_cam
+    px, py = remapped[:, 0], remapped[:, 1]
+    ptx = m[0, 0] * px + m[0, 1] * py + m[0, 3]
+    pty = m[1, 0] * px + m[1, 1] * py + m[1, 3]
+    ptz = m[2, 0] * px + m[2, 1] * py + m[2, 3]
+    ptw = m[3, 0] * px + m[3, 1] * py + m[3, 3]
+    pt = V3(ptx / ptw, pty / ptw, ptz / ptw)
+    c2w = cam.cam_to_world
+    d_cam = soa.normalize(pt)
+    d = soa.normalize(
+        V3(
+            c2w[0, 0] * d_cam.x + c2w[0, 1] * d_cam.y + c2w[0, 2] * d_cam.z,
+            c2w[1, 0] * d_cam.x + c2w[1, 1] * d_cam.y + c2w[1, 2] * d_cam.z,
+            c2w[2, 0] * d_cam.x + c2w[2, 1] * d_cam.y + c2w[2, 2] * d_cam.z,
+        )
+    )
+    org = soa.splat(np.asarray(cam.cam_to_world)[:3, 3], (n,))
+
+    hit = trs.intersect_soa(static, sc.geom, org, d, 0.0, BIG)
+    vertex = shade_hit(static, sc, org, d, hit)
+    rays = jnp.ones(n, REAL)
+
+    zero = jnp.zeros(n, REAL)
+    radiance = soa.where(vertex.valid, emission(sc, vertex, -d), V3(zero, zero, zero))
+    if static.has_envmap:
+        radiance = soa.where(vertex.valid, radiance, sc.env_value * jnp.ones(n, REAL))
+
+    if n_iters == 0:
+        return radiance, rays
+
+    state = dict(
+        radiance=radiance,
+        throughput=V3(jnp.ones(n, REAL), jnp.ones(n, REAL), jnp.ones(n, REAL)),
+        d=d,
+        vertex=vertex,
+        active=vertex.valid,
+        bounce=jnp.asarray(0, INT),
+        rays=rays,
+    )
+
+    eps_shadow = static.shadow_epsilon
+    eps_isect = static.intersection_epsilon
+
+    def cond(s):
+        return jnp.any(s["active"]) & (s["bounce"] < n_iters)
+
+    def body(s):
+        v = s["vertex"]
+        d = s["d"]
+        b = s["bounce"] + 1
+        active = s["active"]
+        dir_view = -d
+        refl = reflectance(sc, v)
+        # Opaque frame flip (reference: lambertian.inl:10-13).
+        frame = soa.flip(v.frame, soa.dot(v.frame.n, dir_view) < 0)
+        rays = s["rays"]
+
+        # ---- NEE ----
+        radiance = s["radiance"]
+        if static.n_lights > 0:
+            lu0, lu1 = uni2(b, _CTR_LIGHT_UV)
+            lw, lsw = uni2(b, _CTR_LIGHT_W)
+            light_id, p_l, n_l, pdf_pt, is_env = sample_light_point(
+                static, sc, v.position, lu0, lu1, lw, lsw
+            )
+            to_l = p_l - v.position
+            dist = soa.length(to_l)
+            dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
+            dl = soa.where(is_env, -1.0 * n_l, dir_area)
+            tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
+            blocked = trs.occluded_soa(static, sc.geom, v.position, dl, eps_shadow, tfar)
+            g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
+            g = jnp.where(is_env, 1.0, g_area)
+            g = jnp.where(blocked, 0.0, g)
+            p1 = sc.light_pmf[light_id] * pdf_pt
+            # Lambertian eval & pdf (reference: lambertian.inl).
+            cos_out = soa.dot(frame.n, dl)
+            above = (soa.dot(v.gn, dir_view) >= 0) & (soa.dot(v.gn, dl) >= 0)
+            f_val = jnp.where(above, jnp.maximum(cos_out, 0.0) / jnp.pi, 0.0)
+            l_emit = soa.where(
+                is_env,
+                sc.env_value * jnp.ones(n, REAL),
+                soa.where(
+                    soa.dot(n_l, -1.0 * dl) > 0,
+                    soa.gather(sc.light_intensity, light_id),
+                    V3(zero, zero, zero),
+                ),
+            )
+            p2 = f_val * g  # pdf == f for cosine sampling
+            ok = (g > 0) & (p1 > 0) & active
+            w1 = jnp.where(ok, p1 * p1 / jnp.maximum(p1 * p1 + p2 * p2, 1e-30), 0.0)
+            scale = jnp.where(ok, g * f_val * w1 / jnp.maximum(p1, 1e-30), 0.0)
+            contrib = refl * l_emit * scale
+            radiance = radiance + s["throughput"] * contrib
+            rays = rays + jnp.where(active, 1.0, 0.0)
+
+        # ---- BSDF (cosine) sampling ----
+        bu0, bu1 = uni2(b, _CTR_BSDF_UV)
+        d_out = _sample_cos_hemisphere(frame, bu0, bu1)
+        cos_out = soa.dot(frame.n, d_out)
+        pdf_b = jnp.maximum(cos_out, 0.0) / jnp.pi
+        f_b = jnp.maximum(cos_out, 0.0) / jnp.pi  # times refl below
+        sample_ok = soa.dot(v.gn, dir_view) >= 0
+        active = active & sample_ok & (pdf_b > 0)
+        rays = rays + jnp.where(active, 1.0, 0.0)
+
+        nxt_hit = trs.intersect_soa(static, sc.geom, v.position, d_out, eps_isect, BIG)
+        nxt = shade_hit(static, sc, v.position, d_out, nxt_hit)
+        dist2 = soa.length_squared(nxt.position - v.position)
+        g2 = jnp.where(
+            nxt.valid,
+            jnp.abs(soa.dot(d_out, nxt.gn)) / jnp.maximum(dist2, 1e-20),
+            1.0,
+        )
+        p2a = pdf_b * g2
+
+        # Emissive hit with MIS.
+        if static.n_lights > 0:
+            hit_light = nxt.valid & (nxt.light_id >= 0) & active
+            l_emit = emission(sc, nxt, -1.0 * d_out)
+            lid = jnp.maximum(nxt.light_id, 0)
+            lshape = jnp.maximum(sc.light_shape_id[lid], 0)
+            # pdf of NEE for this point (mesh area / sphere cone).
+            pdf_mesh = 1.0 / jnp.maximum(sc.shape_area[lshape], 1e-20)
+            if static.any_sphere_light:
+                sph = sc.shape_prim_offset[lshape]
+                center = soa.gather(sc.geom.sph_center, sph)
+                r = sc.geom.sph_radius[sph]
+                d2c = soa.length_squared(v.position - center)
+                inside = d2c < r * r
+                sin2max = r * r / jnp.maximum(d2c, 1e-20)
+                cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+                pdf_cone_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-20)
+                pdf_sph = jnp.where(
+                    inside,
+                    pdf_mesh,
+                    pdf_cone_sa * jnp.abs(soa.dot(nxt.gn, d_out)) / jnp.maximum(dist2, 1e-20),
+                )
+                pdf_pt = jnp.where(
+                    sc.shape_kind[lshape] == SHAPE_SPHERE, pdf_sph, pdf_mesh
+                )
+            else:
+                pdf_pt = pdf_mesh
+            p1h = sc.light_pmf[lid] * pdf_pt
+            w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
+            scale = jnp.where(hit_light, g2 * f_b * w2 / jnp.maximum(p2a, 1e-30), 0.0)
+            radiance = radiance + s["throughput"] * refl * l_emit * scale
+        if static.has_envmap:
+            miss = active & ~nxt.valid
+            env_id = static.envmap_light_id
+            p1e = sc.light_pmf[env_id] * envmap_pdf_for_dir(static, sc, d_out)
+            w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
+            scale = jnp.where(miss, g2 * f_b * w2e / jnp.maximum(p2a, 1e-30), 0.0)
+            radiance = radiance + s["throughput"] * refl * sc.env_value * scale
+
+        active = active & nxt.valid
+
+        # Russian roulette (reference: src/path_tracing.h:334-341).
+        throughput = s["throughput"] * refl * (g2 * f_b / jnp.maximum(p2a, 1e-30))
+        num_vertices = s["bounce"] + 3
+        do_rr = (num_vertices - 1) >= static.options.rr_depth
+        _, u_rr = uni2(b, _CTR_BSDF_W)
+        rr_prob = jnp.where(do_rr, jnp.minimum(soa.vmax(throughput), 0.95), 1.0)
+        active = active & ((~do_rr) | (u_rr <= rr_prob))
+        throughput = throughput * (1.0 / jnp.maximum(rr_prob, 1e-20))
+        throughput = soa.where(active, throughput, s["throughput"])
+
+        new_vertex = jax.tree_util.tree_map(
+            lambda a, o: jnp.where(active, a, o), nxt, v
+        )
+        return dict(
+            radiance=radiance,
+            throughput=throughput,
+            d=soa.where(active, d_out, d),
+            vertex=new_vertex,
+            active=active,
+            bounce=s["bounce"] + 1,
+            rays=rays,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out["radiance"], out["rays"]
+
+
+def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
+    """SoA render driver for the path integrator."""
+    static = scene.static
+    w, h = static.width, static.height
+    spp = spp if spp is not None else static.options.samples_per_pixel
+    n = w * h
+    sc = scene_soa_from_aos(scene)
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs_d = jnp.asarray(xs.ravel(), REAL)
+    ys_d = jnp.asarray(ys.ravel(), REAL)
+    ray_idx = jnp.arange(n, dtype=jnp.uint32)
+
+    @partial(jax.jit, static_argnames=("n_samples",))
+    def passes(sc, sample0, n_samples):
+        def one(i, carry):
+            acc, rays = carry
+            r, nr = trace_paths_soa(
+                scene, sc, xs_d, ys_d, ray_idx, seed, sample0 + i
+            )
+            return (
+                V3(acc.x + r.x, acc.y + r.y, acc.z + r.z),
+                rays + jnp.sum(nr),
+            )
+
+        zero = V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.zeros(n, REAL))
+        return jax.lax.fori_loop(0, n_samples, one, (zero, jnp.asarray(0.0, REAL)))
+
+    batch = max(1, (1 << 22) // n)
+    acc = np.zeros((3, n), np.float64)
+    total_rays = 0.0
+    done = 0
+    while done < spp:
+        k = min(batch, spp - done)
+        out, nrays = passes(sc, done, k)
+        acc[0] += np.asarray(out.x, np.float64)
+        acc[1] += np.asarray(out.y, np.float64)
+        acc[2] += np.asarray(out.z, np.float64)
+        total_rays += float(nrays)
+        done += k
+    img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
+    img = np.where(np.isfinite(img), img, 0.0)
+    if return_stats:
+        return img, total_rays
+    return img

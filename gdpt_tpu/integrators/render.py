@@ -82,6 +82,10 @@ def render(scene: Scene, spp=None, seed=0):
             aux_integrator.render_aux(scene.device, scene.static, integrator)
         )
     if integrator == "path":
+        from gdpt_tpu.integrators import path_soa
+
+        if path_soa.supports_soa(scene):
+            return path_soa.render_soa(scene, spp=spp, seed=seed)
         return render_samples(scene, path_integrator.trace_path, spp=spp, seed=seed)
     if integrator == "volpath":
         from gdpt_tpu.integrators import volpath as vol_integrator

@@ -1,0 +1,181 @@
+"""Cross-validation of the SoA fast path against the per-ray reference
+implementation, plus multi-chip sharding and aux-subsystem tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdpt_tpu.accel import traverse as tr
+from gdpt_tpu.accel import traverse_soa as trs
+from gdpt_tpu.core import soa
+from gdpt_tpu.core.dtypes import BIG
+from gdpt_tpu.integrators import path as path_aos
+from gdpt_tpu.integrators import path_soa
+from gdpt_tpu.integrators import render as R
+from gdpt_tpu.scene import presets
+
+
+def test_threefry_uniform_statistics():
+    stream = jnp.arange(100000, dtype=jnp.uint32)
+    u0, u1 = soa.uniform2(7, stream, 3)
+    u0, u1 = np.asarray(u0), np.asarray(u1)
+    assert (u0 >= 0).all() and (u0 < 1).all()
+    assert abs(u0.mean() - 0.5) < 5e-3
+    assert abs(u1.mean() - 0.5) < 5e-3
+    assert abs(np.corrcoef(u0, u1)[0, 1]) < 0.02
+    # Different counters decorrelate.
+    v0, _ = soa.uniform2(7, stream, 4)
+    assert abs(np.corrcoef(u0, np.asarray(v0))[0, 1]) < 0.02
+
+
+def test_soa_v3_math():
+    a = soa.V3(jnp.array([1.0, 0.0]), jnp.array([0.0, 2.0]), jnp.array([0.0, 1.0]))
+    b = soa.V3(jnp.array([0.0, 1.0]), jnp.array([1.0, 0.0]), jnp.array([0.0, 0.0]))
+    c = soa.cross(a, b)
+    np.testing.assert_allclose(np.asarray(c.z), [1.0, -2.0])
+    n = soa.normalize(a)
+    np.testing.assert_allclose(
+        np.asarray(soa.length(n)), [1.0, 1.0], atol=1e-6
+    )
+    f = soa.coordinate_system(soa.normalize(soa.V3(*map(jnp.atleast_1d, (0.3, -0.5, 0.81)))))
+    v = soa.V3(*map(jnp.atleast_1d, (0.2, 0.7, -0.1)))
+    back = soa.to_local(f, soa.to_world(f, v))
+    np.testing.assert_allclose(np.asarray(back.x), np.asarray(v.x), atol=1e-6)
+
+
+def test_soa_intersect_matches_aos():
+    sc = presets.cornell_box(width=8, height=8, spp=1)
+    g_soa = trs.geom_soa_from_aos(sc.device.geom)
+    rng = np.random.RandomState(0)
+    n = 500
+    org = rng.rand(n, 3) * 500
+    d = rng.randn(n, 3)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    org_j = jnp.asarray(org, jnp.float32)
+    d_j = jnp.asarray(d, jnp.float32)
+    hit_aos = jax.vmap(
+        lambda o, dd: tr.intersect_brute(sc.device.geom, o, dd, 1e-3, BIG)
+    )(org_j, d_j)
+    hit_soa = trs.intersect_brute_soa(
+        sc.static, g_soa,
+        soa.from_rows(org_j), soa.from_rows(d_j), 1e-3, BIG,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hit_aos.prim_id), np.asarray(hit_soa.prim_id)
+    )
+    valid = np.asarray(hit_aos.prim_id) >= 0
+    np.testing.assert_allclose(
+        np.asarray(hit_aos.t)[valid], np.asarray(hit_soa.t)[valid], rtol=1e-5
+    )
+
+
+def test_soa_bvh_matches_brute():
+    sc = presets.cornell_box(width=8, height=8, spp=1)
+    # Rebuild with BVH forced.
+    from gdpt_tpu.scene import build as gbuild
+    rng = np.random.RandomState(1)
+    n = 400
+    org = rng.rand(n, 3) * 500
+    d = rng.randn(n, 3)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    sc2 = presets.cornell_box(width=8, height=8, spp=1)
+    # force_bvh path: construct geometry with BVH by rebuilding
+    from gdpt_tpu.scene.presets import cornell_box
+    import gdpt_tpu.scene.build as B
+
+    scene_bvh = None
+    # Use build_scene with force_bvh via parser helper on presets: rebuild manually
+    from gdpt_tpu.scene import model as M
+    from gdpt_tpu.core import transform as xf
+
+    # simpler: flip the static flag and build BVH arrays directly
+    from gdpt_tpu.accel import bvh as gbvh
+    g = sc2.device.geom
+    b = gbvh.build_bvh(
+        np.asarray(g.tri_v0), np.asarray(g.tri_v0 + g.tri_e1), np.asarray(g.tri_v0 + g.tri_e2)
+    )
+    g2 = g._replace(
+        bvh_bbox_min=jnp.asarray(b.bbox_min), bvh_bbox_max=jnp.asarray(b.bbox_max),
+        bvh_first=jnp.asarray(b.first), bvh_count=jnp.asarray(b.count),
+        bvh_miss=jnp.asarray(b.miss), bvh_prim_order=jnp.asarray(b.prim_order),
+    )
+    g_soa = trs.geom_soa_from_aos(g2)
+    org_j = soa.from_rows(jnp.asarray(org, jnp.float32))
+    d_j = soa.from_rows(jnp.asarray(d, jnp.float32))
+    h_bvh = trs.intersect_bvh_soa(sc2.static, g_soa, org_j, d_j, 1e-3, BIG)
+    h_bf = trs.intersect_brute_soa(sc2.static, g_soa, org_j, d_j, 1e-3, BIG)
+    valid = np.asarray(h_bf.prim_id) >= 0
+    np.testing.assert_array_equal(
+        np.asarray(h_bvh.prim_id) >= 0, valid
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_bvh.t)[valid], np.asarray(h_bf.t)[valid], rtol=1e-4
+    )
+
+
+def test_soa_path_matches_aos_furnace():
+    sc = presets.furnace_sphere(albedo=0.5, emission=1.0, width=16, height=16,
+                                spp=128, max_depth=-1)
+    assert path_soa.supports_soa(sc)
+    img = path_soa.render_soa(sc, seed=2)
+    c = img.shape[0] // 2
+    assert abs(img[c - 2 : c + 2, c - 2 : c + 2].mean() - 0.5) < 0.02
+    np.testing.assert_allclose(img[0, 0], 1.0, atol=1e-4)
+
+
+def test_soa_path_matches_aos_cbox():
+    sc = presets.cornell_box(width=32, height=32, spp=48, max_depth=4)
+    a = path_soa.render_soa(sc, seed=5)
+    b = R.render_samples(sc, path_aos.trace_path, spp=48, seed=6)
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05
+    # Pixel-level agreement within MC noise on a blurred comparison.
+    ka = a.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3))
+    kb = b.reshape(8, 4, 8, 4, 3).mean(axis=(1, 3))
+    rel = np.abs(ka - kb) / (kb + 1e-2)
+    assert np.quantile(rel, 0.9) < 0.25
+
+
+def test_render_dispatch_uses_soa_for_cbox():
+    sc = presets.cornell_box(width=16, height=16, spp=8, max_depth=3)
+    img = R.render(sc, seed=1)
+    assert np.isfinite(img).all() and img.max() > 0
+
+
+def test_sharded_render_matches_single_device():
+    from gdpt_tpu.parallel import sharding
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual cpu devices"
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    sc = presets.cornell_box(width=16, height=16, spp=8, max_depth=3)
+    img_sharded = sharding.render_samples_sharded(
+        sc, path_aos.trace_path, mesh, spp=8, seed=11
+    )
+    img_single = R.render_samples(sc, path_aos.trace_path, spp=8, seed=11)
+    np.testing.assert_allclose(img_sharded, img_single, rtol=1e-4, atol=1e-5)
+
+
+def test_checkpoint_resume(tmp_path):
+    from gdpt_tpu.utils import checkpoint
+
+    sc = presets.cornell_box(width=8, height=8, spp=8, max_depth=3)
+    path = str(tmp_path / "ck.npz")
+    full = checkpoint.render_with_checkpoints(sc, spp=8, every=4, path=path)
+    # Restart from the checkpoint: result identical when resuming at 8/8.
+    resumed = checkpoint.render_with_checkpoints(sc, spp=8, every=4, path=path)
+    np.testing.assert_allclose(full, resumed, atol=1e-6)
+
+
+def test_mipmap_constant_invariance():
+    # Constant-image mip lookup is level-invariant (reference test:
+    # src/tests/mipmap.cpp).
+    from gdpt_tpu.scene import textures as gtex
+
+    img = np.full((16, 16, 3), 0.7, np.float32)
+    pool = gtex.build_texture_pool([img], 3)
+    for level in [0.0, 0.5, 1.7, 3.2]:
+        val = gtex.lookup_trilinear(
+            pool, jnp.asarray(0), jnp.asarray(0.3), jnp.asarray(0.8),
+            jnp.asarray(level),
+        )
+        np.testing.assert_allclose(np.asarray(val), 0.7, atol=1e-5)
