@@ -73,25 +73,25 @@ def intersect_tri(v0, e1, e2, org, d, tnear, tfar):
 
 
 def intersect_sphere(center, radius, org, d, tnear, tfar):
-    """Numerically stable quadratic, both roots considered
-    (reference: src/shapes/sphere.inl:14-105). Returns (t, hit)."""
+    """Sphere intersection via the closest-approach (impact parameter)
+    form: more robust in f32 than the |v|^2 - r^2 quadratic the reference
+    uses in f64 (reference: src/shapes/sphere.inl:14-105) — the direct
+    form catastrophically cancels for smallpt-style huge wall spheres.
+    Returns (t, hit)."""
     v = org - center
     a = jnp.sum(d * d, axis=-1)
-    b = 2.0 * jnp.sum(d * v, axis=-1)
-    c = jnp.sum(v * v, axis=-1) - radius * radius
-    disc = b * b - 4.0 * a * c
-    ok = disc >= 0.0
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
-    q = jnp.where(b >= 0.0, -b - root, -b + root)
-    safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
-    t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * c, q))
-    t1 = jnp.where(b >= 0.0, safe(2.0 * c, q), safe(q, 2.0 * a))
-    tlo = jnp.minimum(t0, t1)
-    thi = jnp.maximum(t0, t1)
-    use_lo = (tlo >= tnear) & (tlo < tfar)
-    use_hi = (thi >= tnear) & (thi < tfar)
-    t = jnp.where(use_lo, tlo, thi)
-    hit = ok & (use_lo | use_hi) & (a != 0)
+    inv_a = 1.0 / jnp.where(a != 0, a, 1.0)
+    tm = -jnp.sum(v * d, axis=-1) * inv_a
+    m = v + tm[..., None] * d
+    disc = radius * radius - jnp.sum(m * m, axis=-1)
+    ok = (disc >= 0.0) & (a != 0)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+    t0 = tm - dt
+    t1 = tm + dt
+    use_lo = (t0 >= tnear) & (t0 < tfar)
+    use_hi = (t1 >= tnear) & (t1 < tfar)
+    t = jnp.where(use_lo, t0, t1)
+    hit = ok & (use_lo | use_hi)
     return t, hit
 
 

@@ -94,19 +94,16 @@ def _sphere_test_rows(g: GeomSoA, org: V3, d: V3, tnear, tfar):
     dd = soa.V3(d.x[None, :], d.y[None, :], d.z[None, :])
     v = o - c
     a = soa.dot(dd, dd)
-    b = 2.0 * soa.dot(dd, v)
-    cc = soa.dot(v, v) - r * r
-    disc = b * b - 4.0 * a * cc
-    root = jnp.sqrt(jnp.maximum(disc, 0.0))
-    q = jnp.where(b >= 0.0, -b - root, -b + root)
-    safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
-    t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * cc, q))
-    t1 = jnp.where(b >= 0.0, safe(2.0 * cc, q), safe(q, 2.0 * a))
-    tlo = jnp.minimum(t0, t1)
-    thi = jnp.maximum(t0, t1)
-    use_lo = (tlo >= tnear) & (tlo < tfar)
-    use_hi = (thi >= tnear) & (thi < tfar)
-    t = jnp.where(use_lo, tlo, thi)
+    inv_a = 1.0 / jnp.where(a != 0, a, 1.0)
+    tm = -soa.dot(dd, v) * inv_a
+    m = v + dd * tm
+    disc = r * r - soa.dot(m, m)
+    dt = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+    t0 = tm - dt
+    t1 = tm + dt
+    use_lo = (t0 >= tnear) & (t0 < tfar)
+    use_hi = (t1 >= tnear) & (t1 < tfar)
+    t = jnp.where(use_lo, t0, t1)
     hit = (disc >= 0) & (a != 0) & (use_lo | use_hi)
     return t, hit
 
@@ -186,19 +183,16 @@ def _test_prim_soa(static, g: GeomSoA, prim, org: V3, d: V3, tnear, tfar):
         r = g.sph_radius[sid]
         vv = org - c
         a = soa.dot(d, d)
-        b = 2.0 * soa.dot(d, vv)
-        cc = soa.dot(vv, vv) - r * r
-        disc = b * b - 4.0 * a * cc
-        root = jnp.sqrt(jnp.maximum(disc, 0.0))
-        q = jnp.where(b >= 0.0, -b - root, -b + root)
-        safe = lambda x, y: x / jnp.where(y != 0, y, 1.0)
-        t0 = jnp.where(b >= 0.0, safe(q, 2.0 * a), safe(2.0 * cc, q))
-        t1 = jnp.where(b >= 0.0, safe(2.0 * cc, q), safe(q, 2.0 * a))
-        tlo = jnp.minimum(t0, t1)
-        thi = jnp.maximum(t0, t1)
-        use_lo = (tlo >= tnear) & (tlo < tfar)
-        use_hi = (thi >= tnear) & (thi < tfar)
-        t = jnp.where(use_lo, tlo, thi)
+        inv_a = 1.0 / jnp.where(a != 0, a, 1.0)
+        tm = -soa.dot(d, vv) * inv_a
+        mm = vv + d * tm
+        disc = r * r - soa.dot(mm, mm)
+        dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+        t0 = tm - dtq
+        t1 = tm + dtq
+        use_lo = (t0 >= tnear) & (t0 < tfar)
+        use_hi = (t1 >= tnear) & (t1 < tfar)
+        t = jnp.where(use_lo, t0, t1)
         hit = (disc >= 0) & (a != 0) & (use_lo | use_hi)
         return t, hit
 
