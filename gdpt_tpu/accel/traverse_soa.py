@@ -280,13 +280,32 @@ def occluded_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
     return hit.prim_id >= 0
 
 
+def _use_pallas():
+    import os
+
+    flag = os.environ.get("GDPT_PALLAS", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def intersect_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
     if static.use_brute_force:
+        if _use_pallas():
+            from gdpt_tpu.accel import pallas_intersect as pli
+
+            return pli.intersect_brute_pallas(static, g, org, d, tnear, tfar)
         return intersect_brute_soa(static, g, org, d, tnear, tfar)
     return intersect_bvh_soa(static, g, org, d, tnear, tfar)
 
 
 def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
     if static.use_brute_force:
+        if _use_pallas():
+            from gdpt_tpu.accel import pallas_intersect as pli
+
+            return pli.occluded_brute_pallas(static, g, org, d, tnear, tfar)
         return occluded_brute_soa(static, g, org, d, tnear, tfar)
     return occluded_bvh_soa(static, g, org, d, tnear, tfar)

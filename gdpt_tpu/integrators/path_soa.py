@@ -351,9 +351,9 @@ def envmap_pdf_for_dir(static, sc: SceneSoA, d: V3):
     )
 
 
-def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
-    """One sample for every ray in the batch; returns (radiance V3, rays)."""
-    static = scene.static
+def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
+    """One sample for every ray in the batch; returns (radiance V3, rays).
+    `static` is the hashable SceneStatic; `camera` the CameraArrays."""
     w, h = static.width, static.height
     n = xs.shape[0]
     n_iters = HARD_BOUNCE_CAP if static.options.max_depth < 0 else max(
@@ -361,7 +361,11 @@ def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
     )
 
     def uni2(bounce, ctr):
-        return soa.uniform2(seed, ray_idx, sample0 * 131071 + bounce * _CTR_STRIDE + ctr)
+        counter = (
+            jnp.asarray(sample0, jnp.uint32) * jnp.uint32(131071)
+            + jnp.asarray(bounce * _CTR_STRIDE + ctr, jnp.uint32)
+        )
+        return soa.uniform2(seed, ray_idx, counter)
 
     # Primary ray with filter importance sampling
     # (reference: src/camera.cpp:23-47).
@@ -373,7 +377,7 @@ def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
     frac = pixel - jnp.floor(pixel)
     offset = gfilters.sample_filter(static.filter_kind, static.filter_param, frac)
     remapped = (jnp.floor(pixel) + 0.5 + offset) / jnp.asarray([w, h], REAL)
-    cam = scene.device.camera
+    cam = camera
     m = cam.sample_to_cam
     px, py = remapped[:, 0], remapped[:, 1]
     ptx = m[0, 0] * px + m[0, 1] * py + m[0, 3]
@@ -390,7 +394,11 @@ def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
             c2w[2, 0] * d_cam.x + c2w[2, 1] * d_cam.y + c2w[2, 2] * d_cam.z,
         )
     )
-    org = soa.splat(np.asarray(cam.cam_to_world)[:3, 3], (n,))
+    org = V3(
+        jnp.broadcast_to(c2w[0, 3], (n,)),
+        jnp.broadcast_to(c2w[1, 3], (n,)),
+        jnp.broadcast_to(c2w[2, 3], (n,)),
+    )
 
     hit = trs.intersect_soa(static, sc.geom, org, d, 0.0, BIG)
     vertex = shade_hit(static, sc, org, d, hit)
@@ -558,6 +566,27 @@ def trace_paths_soa(scene: Scene, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
     return out["radiance"], out["rays"]
 
 
+@partial(jax.jit, static_argnames=("static", "n_samples"))
+def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
+    """n_samples accumulated samples for the whole ray batch (jitted once
+    per (scene static, batch size))."""
+    n = xs.shape[0]
+
+    def one(i, carry):
+        acc, rays = carry
+        r, nr = trace_paths_soa(
+            static, camera, sc, xs, ys, ray_idx, seed,
+            sample0 + i.astype(jnp.uint32),
+        )
+        return (
+            V3(acc.x + r.x, acc.y + r.y, acc.z + r.z),
+            rays + jnp.sum(nr),
+        )
+
+    zero = V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.zeros(n, REAL))
+    return jax.lax.fori_loop(0, n_samples, one, (zero, jnp.asarray(0.0, REAL)))
+
+
 def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     """SoA render driver for the path integrator."""
     static = scene.static
@@ -570,28 +599,16 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
-    @partial(jax.jit, static_argnames=("n_samples",))
-    def passes(sc, sample0, n_samples):
-        def one(i, carry):
-            acc, rays = carry
-            r, nr = trace_paths_soa(
-                scene, sc, xs_d, ys_d, ray_idx, seed, sample0 + i
-            )
-            return (
-                V3(acc.x + r.x, acc.y + r.y, acc.z + r.z),
-                rays + jnp.sum(nr),
-            )
-
-        zero = V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.zeros(n, REAL))
-        return jax.lax.fori_loop(0, n_samples, one, (zero, jnp.asarray(0.0, REAL)))
-
     batch = max(1, (1 << 22) // n)
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0
     while done < spp:
         k = min(batch, spp - done)
-        out, nrays = passes(sc, done, k)
+        out, nrays = _soa_pass(
+            static, scene.device.camera, sc, xs_d, ys_d, ray_idx,
+            jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
+        )
         acc[0] += np.asarray(out.x, np.float64)
         acc[1] += np.asarray(out.y, np.float64)
         acc[2] += np.asarray(out.z, np.float64)
