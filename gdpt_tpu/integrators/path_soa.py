@@ -143,7 +143,8 @@ class VertexSoA(NamedTuple):
     shape_id: jnp.ndarray
     material_id: jnp.ndarray
     light_id: jnp.ndarray
-    valid: jnp.ndarray
+    valid: jnp.ndarray  # f32 mask (0/1): pred buffers have a slow packed
+    #                     layout on TPU, so masks cross op boundaries as f32
 
 
 def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSoA:
@@ -197,7 +198,7 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         shape_id=shape_id,
         material_id=sc.shape_material_id[shape_id],
         light_id=sc.shape_light_id[shape_id],
-        valid=hit.prim_id >= 0,
+        valid=(hit.prim_id >= 0).astype(REAL),
     )
 
 
@@ -405,9 +406,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     rays = jnp.ones(n, REAL)
 
     zero = jnp.zeros(n, REAL)
-    radiance = soa.where(vertex.valid, emission(sc, vertex, -d), V3(zero, zero, zero))
+    v_ok = vertex.valid > 0
+    radiance = soa.where(v_ok, emission(sc, vertex, -d), V3(zero, zero, zero))
     if static.has_envmap:
-        radiance = soa.where(vertex.valid, radiance, sc.env_value * jnp.ones(n, REAL))
+        radiance = soa.where(v_ok, radiance, sc.env_value * jnp.ones(n, REAL))
 
     if n_iters == 0:
         return radiance, rays
@@ -417,7 +419,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         throughput=V3(jnp.ones(n, REAL), jnp.ones(n, REAL), jnp.ones(n, REAL)),
         d=d,
         vertex=vertex,
-        active=vertex.valid,
+        active=vertex.valid,  # f32 mask
         bounce=jnp.asarray(0, INT),
         rays=rays,
     )
@@ -426,13 +428,13 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     eps_isect = static.intersection_epsilon
 
     def cond(s):
-        return jnp.any(s["active"]) & (s["bounce"] < n_iters)
+        return (jnp.max(s["active"]) > 0) & (s["bounce"] < n_iters)
 
     def body(s):
         v = s["vertex"]
         d = s["d"]
         b = s["bounce"] + 1
-        active = s["active"]
+        active = s["active"] > 0
         dir_view = -d
         refl = reflectance(sc, v)
         # Opaque frame flip (reference: lambertian.inl:10-13).
@@ -452,10 +454,11 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
             dl = soa.where(is_env, -1.0 * n_l, dir_area)
             tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
-            blocked = trs.occluded_soa(static, sc.geom, v.position, dl, eps_shadow, tfar)
+            unoccluded = 1.0 - trs.occluded_soa(
+                static, sc.geom, v.position, dl, eps_shadow, tfar
+            ).astype(REAL)
             g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
-            g = jnp.where(is_env, 1.0, g_area)
-            g = jnp.where(blocked, 0.0, g)
+            g = jnp.where(is_env, 1.0, g_area) * unoccluded
             p1 = sc.light_pmf[light_id] * pdf_pt
             # Lambertian eval & pdf (reference: lambertian.inl).
             cos_out = soa.dot(frame.n, dl)
@@ -490,9 +493,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
 
         nxt_hit = trs.intersect_soa(static, sc.geom, v.position, d_out, eps_isect, BIG)
         nxt = shade_hit(static, sc, v.position, d_out, nxt_hit)
+        nxt_ok = nxt.valid > 0
         dist2 = soa.length_squared(nxt.position - v.position)
         g2 = jnp.where(
-            nxt.valid,
+            nxt_ok,
             jnp.abs(soa.dot(d_out, nxt.gn)) / jnp.maximum(dist2, 1e-20),
             1.0,
         )
@@ -500,7 +504,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
 
         # Emissive hit with MIS.
         if static.n_lights > 0:
-            hit_light = nxt.valid & (nxt.light_id >= 0) & active
+            hit_light = nxt_ok & (nxt.light_id >= 0) & active
             l_emit = emission(sc, nxt, -1.0 * d_out)
             lid = jnp.maximum(nxt.light_id, 0)
             lshape = jnp.maximum(sc.light_shape_id[lid], 0)
@@ -530,14 +534,14 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             scale = jnp.where(hit_light, g2 * f_b * w2 / jnp.maximum(p2a, 1e-30), 0.0)
             radiance = radiance + s["throughput"] * refl * l_emit * scale
         if static.has_envmap:
-            miss = active & ~nxt.valid
+            miss = active & ~nxt_ok
             env_id = static.envmap_light_id
             p1e = sc.light_pmf[env_id] * envmap_pdf_for_dir(static, sc, d_out)
             w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
             scale = jnp.where(miss, g2 * f_b * w2e / jnp.maximum(p2a, 1e-30), 0.0)
             radiance = radiance + s["throughput"] * refl * sc.env_value * scale
 
-        active = active & nxt.valid
+        active = active & nxt_ok
 
         # Russian roulette (reference: src/path_tracing.h:334-341).
         throughput = s["throughput"] * refl * (g2 * f_b / jnp.maximum(p2a, 1e-30))
@@ -557,7 +561,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             throughput=throughput,
             d=soa.where(active, d_out, d),
             vertex=new_vertex,
-            active=active,
+            active=active.astype(REAL),
             bounce=s["bounce"] + 1,
             rays=rays,
         )
