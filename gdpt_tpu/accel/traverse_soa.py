@@ -180,7 +180,7 @@ def _test_prim_soa(static, g: GeomSoA, prim, org: V3, d: V3, tnear, tfar):
     def sph_branch(pid):
         sid = jnp.clip(pid - n_tri, 0, max(n_sph - 1, 0))
         c = soa.gather(g.sph_center, sid)
-        r = g.sph_radius[sid]
+        r = soa.take(g.sph_radius, sid)
         vv = org - c
         a = soa.dot(d, d)
         inv_a = 1.0 / jnp.where(a != 0, a, 1.0)
@@ -246,21 +246,21 @@ def intersect_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
             jnp.minimum(jnp.maximum(t0z, t1z), s["t"]),
         )
         hit_box = t_in <= t_out
-        count = g.bvh_count[node]
+        count = soa.take(g.bvh_count, node)
         is_leaf = count > 0
         test_leaf = active & hit_box & is_leaf
         best_t, best_prim, best_u, best_v = s["t"], s["prim"], s["u"], s["v"]
-        first = g.bvh_first[node]
+        first = soa.take(g.bvh_first, node)
         for j in range(_LEAF_SIZE):
             slot = jnp.clip(first + j, 0, g.bvh_prim_order.shape[0] - 1)
-            prim = g.bvh_prim_order[slot]
+            prim = soa.take(g.bvh_prim_order, slot)
             t, u, v, hit = _test_prim_soa(static, g, prim, org, d, tnear, best_t)
             take = test_leaf & (j < count) & hit & (t < best_t)
             best_t = jnp.where(take, t, best_t)
             best_prim = jnp.where(take, prim, best_prim)
             best_u = jnp.where(take, u, best_u)
             best_v = jnp.where(take, v, best_v)
-        nxt = jnp.where(hit_box & ~is_leaf, node + 1, g.bvh_miss[node])
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, soa.take(g.bvh_miss, node))
         nxt = jnp.where(active, nxt, s["node"])
         return dict(node=nxt, t=best_t, prim=best_prim, u=best_u, v=best_v)
 

@@ -72,8 +72,17 @@ def from_rows(arr):
     return V3(arr[:, 0], arr[:, 1], arr[:, 2])
 
 
+def take(arr, idx):
+    """Gather with clipped out-of-bounds handling. jnp's default indexing
+    mode ('fill') emits compare+select bounds predicates per gather, which
+    measured ~10 ms/sample in the bounce loop on TPU; clip mode emits a
+    bare gather. Callers guarantee indices are in range (or clamped
+    semantics are intended)."""
+    return jnp.take(arr, idx, axis=0, mode="clip")
+
+
 def gather(v: V3, idx):
-    return V3(v.x[idx], v.y[idx], v.z[idx])
+    return V3(take(v.x, idx), take(v.y, idx), take(v.z, idx))
 
 
 def where(c, a: V3, b: V3):

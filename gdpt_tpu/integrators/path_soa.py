@@ -162,10 +162,10 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         e1 = soa.gather(sc.geom.tri_e1, tid)
         e2 = soa.gather(sc.geom.tri_e2, tid)
         gn_tri = soa.normalize(soa.cross(e1, e2))
-        i0 = sc.tri_i0[tid]
-        i1 = sc.tri_i1[tid]
-        i2 = sc.tri_i2[tid]
-        has_n = sc.tri_has_normals[tid]
+        i0 = soa.take(sc.tri_i0, tid)
+        i1 = soa.take(sc.tri_i1, tid)
+        i2 = soa.take(sc.tri_i2, tid)
+        has_n = soa.take(sc.tri_has_normals, tid)
         b1 = hit.u
         b2 = hit.v
         b0 = 1.0 - b1 - b2
@@ -177,7 +177,7 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         sn_tri = soa.where(has_n, n_interp, gn_tri)
         gn = gn_tri
         sn = sn_tri
-        shape_id = sc.tri_shape_id[tid]
+        shape_id = soa.take(sc.tri_shape_id, tid)
     if static.n_spheres:
         sid = jnp.clip(prim - static.n_tris, 0, static.n_spheres - 1)
         center = soa.gather(sc.geom.sph_center, sid)
@@ -185,7 +185,7 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         is_sph = prim >= static.n_tris if static.n_tris else jnp.ones(n, bool)
         gn = soa.where(is_sph, gn_s, gn)
         sn = soa.where(is_sph, gn_s, sn)
-        shape_id = jnp.where(is_sph, sc.sph_shape_id[sid], shape_id)
+        shape_id = jnp.where(is_sph, soa.take(sc.sph_shape_id, sid), shape_id)
     frame = soa.coordinate_system(sn)
     flip = soa.dot(gn, sn) < 0
     gn = soa.where(flip, -gn, gn)
@@ -196,8 +196,8 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         uv_u=uv_u,
         uv_v=uv_v,
         shape_id=shape_id,
-        material_id=sc.shape_material_id[shape_id],
-        light_id=sc.shape_light_id[shape_id],
+        material_id=soa.take(sc.shape_material_id, shape_id),
+        light_id=soa.take(sc.shape_light_id, shape_id),
         valid=(hit.prim_id >= 0).astype(REAL),
     )
 
@@ -206,10 +206,10 @@ def reflectance(sc: SceneSoA, v: VertexSoA) -> V3:
     """Lambertian reflectance slot: constant or checkerboard."""
     mid = jnp.maximum(v.material_id, 0)
     c0 = soa.gather(sc.mat_refl0, mid)
-    kind = sc.mat_refl_kind[mid]
+    kind = soa.take(sc.mat_refl_kind, mid)
     c1 = soa.gather(sc.mat_refl1, mid)
-    lu = jnp.mod(v.uv_u * sc.mat_uscale[mid] + sc.mat_uoffset[mid], 1.0)
-    lv = jnp.mod(v.uv_v * sc.mat_vscale[mid] + sc.mat_voffset[mid], 1.0)
+    lu = jnp.mod(v.uv_u * soa.take(sc.mat_uscale, mid) + soa.take(sc.mat_uoffset, mid), 1.0)
+    lv = jnp.mod(v.uv_v * soa.take(sc.mat_vscale, mid) + soa.take(sc.mat_voffset, mid), 1.0)
     cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
     cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
     checker = soa.where(cx * cy == 1, c0, c1)
@@ -245,17 +245,17 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
     light_id = jnp.clip(
         jnp.searchsorted(sc.light_cdf, uw, side="right") - 1, 0, sc.light_pmf.shape[0] - 1
     ).astype(INT)
-    shape_id = jnp.maximum(sc.light_shape_id[light_id], 0)
+    shape_id = jnp.maximum(soa.take(sc.light_shape_id, light_id), 0)
     pos = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.zeros(n, REAL))
     nrm = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.ones(n, REAL))
     pdf = jnp.zeros(n, REAL)
     if static.any_mesh_light:
-        cdf_rows = sc.light_tri_cdf[light_id]
+        cdf_rows = soa.take(sc.light_tri_cdf, light_id)
         local_tri = jnp.clip(
             _searchsorted_cdf(cdf_rows, us), 0, sc.light_tri_cdf.shape[1] - 2
         )
         tri = jnp.clip(
-            sc.light_tri_first[light_id] + local_tri.astype(INT),
+            soa.take(sc.light_tri_first, light_id) + local_tri.astype(INT),
             0, max(static.n_tris - 1, 0),
         )
         i0 = sc.tri_i0[tri]
@@ -276,14 +276,14 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
         )
         gn = soa.where(has_n & (soa.dot(gn, sn) < 0), -gn, gn)
         p_mesh = v0 + e1 * b1 + e2 * b2
-        is_mesh = sc.shape_kind[shape_id] == SHAPE_MESH
+        is_mesh = soa.take(sc.shape_kind, shape_id) == SHAPE_MESH
         pos = soa.where(is_mesh, p_mesh, pos)
         nrm = soa.where(is_mesh, gn, nrm)
-        pdf = jnp.where(is_mesh, 1.0 / jnp.maximum(sc.shape_area[shape_id], 1e-20), pdf)
+        pdf = jnp.where(is_mesh, 1.0 / jnp.maximum(soa.take(sc.shape_area, shape_id), 1e-20), pdf)
     if static.any_sphere_light:
-        sph = sc.shape_prim_offset[shape_id]
+        sph = soa.take(sc.shape_prim_offset, shape_id)
         center = soa.gather(sc.geom.sph_center, sph)
-        r = sc.geom.sph_radius[sph]
+        r = soa.take(sc.geom.sph_radius, sph)
         to_c = center - ref
         d2 = soa.length_squared(to_c)
         inside = d2 < r * r
@@ -309,14 +309,14 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
         )
         n_s = soa.where(inside, n_in, n_out)
         p_s = center + n_s * r
-        pdf_uniform = 1.0 / jnp.maximum(sc.shape_area[shape_id], 1e-20)
+        pdf_uniform = 1.0 / jnp.maximum(soa.take(sc.shape_area, shape_id), 1e-20)
         pdf_cone_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-20)
         dl = soa.normalize(p_s - ref)
         pdf_cone = pdf_cone_sa * jnp.abs(soa.dot(n_s, dl)) / jnp.maximum(
             soa.length_squared(p_s - ref), 1e-20
         )
         pdf_s = jnp.where(inside, pdf_uniform, pdf_cone)
-        is_sph = sc.shape_kind[shape_id] == SHAPE_SPHERE
+        is_sph = soa.take(sc.shape_kind, shape_id) == SHAPE_SPHERE
         pos = soa.where(is_sph, p_s, pos)
         nrm = soa.where(is_sph, n_s, nrm)
         pdf = jnp.where(is_sph, pdf_s, pdf)
@@ -332,7 +332,7 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
             -jnp.cos(azimuth) * jnp.sin(elevation),
         )
         sin_e = jnp.sin(elevation)
-        env = sc.light_kind[light_id] == LIGHT_ENVMAP
+        env = soa.take(sc.light_kind, light_id) == LIGHT_ENVMAP
         pos = soa.where(env, V3(*(jnp.zeros(n, REAL),) * 3), pos)
         nrm = soa.where(env, -1.0 * wdir, nrm)
         pdf = jnp.where(
@@ -459,7 +459,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             ).astype(REAL)
             g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
             g = jnp.where(is_env, 1.0, g_area) * unoccluded
-            p1 = sc.light_pmf[light_id] * pdf_pt
+            p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
             # Lambertian eval & pdf (reference: lambertian.inl).
             cos_out = soa.dot(frame.n, dl)
             above = (soa.dot(v.gn, dir_view) >= 0) & (soa.dot(v.gn, dl) >= 0)
@@ -507,13 +507,13 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             hit_light = nxt_ok & (nxt.light_id >= 0) & active
             l_emit = emission(sc, nxt, -1.0 * d_out)
             lid = jnp.maximum(nxt.light_id, 0)
-            lshape = jnp.maximum(sc.light_shape_id[lid], 0)
+            lshape = jnp.maximum(soa.take(sc.light_shape_id, lid), 0)
             # pdf of NEE for this point (mesh area / sphere cone).
-            pdf_mesh = 1.0 / jnp.maximum(sc.shape_area[lshape], 1e-20)
+            pdf_mesh = 1.0 / jnp.maximum(soa.take(sc.shape_area, lshape), 1e-20)
             if static.any_sphere_light:
-                sph = sc.shape_prim_offset[lshape]
+                sph = soa.take(sc.shape_prim_offset, lshape)
                 center = soa.gather(sc.geom.sph_center, sph)
-                r = sc.geom.sph_radius[sph]
+                r = soa.take(sc.geom.sph_radius, sph)
                 d2c = soa.length_squared(v.position - center)
                 inside = d2c < r * r
                 sin2max = r * r / jnp.maximum(d2c, 1e-20)
@@ -525,11 +525,11 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
                     pdf_cone_sa * jnp.abs(soa.dot(nxt.gn, d_out)) / jnp.maximum(dist2, 1e-20),
                 )
                 pdf_pt = jnp.where(
-                    sc.shape_kind[lshape] == SHAPE_SPHERE, pdf_sph, pdf_mesh
+                    soa.take(sc.shape_kind, lshape) == SHAPE_SPHERE, pdf_sph, pdf_mesh
                 )
             else:
                 pdf_pt = pdf_mesh
-            p1h = sc.light_pmf[lid] * pdf_pt
+            p1h = soa.take(sc.light_pmf, lid) * pdf_pt
             w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
             scale = jnp.where(hit_light, g2 * f_b * w2 / jnp.maximum(p2a, 1e-30), 0.0)
             radiance = radiance + s["throughput"] * refl * l_emit * scale
@@ -603,7 +603,9 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
-    batch = max(1, (1 << 22) // n)
+    # Amortize per-pass dispatch/transfer: big sample batches per jit call
+    # (the fori accumulator is O(N) memory regardless of batch size).
+    batch = max(1, (1 << 25) // n)
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0

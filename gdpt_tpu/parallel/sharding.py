@@ -78,3 +78,39 @@ def render_samples_sharded(scene, trace_fn, mesh: Mesh, spp=None, seed=0,
         done += n
     img = (acc[:n_pix] / spp).reshape(h, w, 3)
     return np.where(np.isfinite(img), img, 0.0).astype(np.float32)
+
+
+def render_soa_sharded(scene, mesh: Mesh, spp=None, seed=0):
+    """Distributed SoA fast-path render: every (N,) ray component array is
+    sharded over the 'rays' axis; the SoA scene tables are replicated.
+    Same transport as path_soa.render_soa."""
+    from gdpt_tpu.integrators import path_soa
+
+    static = scene.static
+    w, h = static.width, static.height
+    spp = spp if spp is not None else static.options.samples_per_pixel
+    n_dev = mesh.devices.size
+    n_pix = w * h
+    pad = (-n_pix) % (n_dev * 128)
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs = np.concatenate([xs.ravel(), np.zeros(pad)]).astype(np.float32)
+    ys = np.concatenate([ys.ravel(), np.zeros(pad)]).astype(np.float32)
+    ray_idx = np.concatenate(
+        [np.arange(n_pix), np.zeros(pad)]
+    ).astype(np.uint32)
+
+    ray_sharding = NamedSharding(mesh, P("rays"))
+    repl = NamedSharding(mesh, P())
+    sc = jax.device_put(path_soa.scene_soa_from_aos(scene), repl)
+    camera = jax.device_put(scene.device.camera, repl)
+    xs_d = jax.device_put(jnp.asarray(xs), ray_sharding)
+    ys_d = jax.device_put(jnp.asarray(ys), ray_sharding)
+    idx_d = jax.device_put(jnp.asarray(ray_idx), ray_sharding)
+
+    out, _ = path_soa._soa_pass(
+        static, camera, sc, xs_d, ys_d, idx_d,
+        jnp.asarray(seed, jnp.uint32), jnp.asarray(0, jnp.uint32), spp,
+    )
+    img = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
+    img = (img[:n_pix] / spp).reshape(h, w, 3).astype(np.float32)
+    return np.where(np.isfinite(img), img, 0.0)
