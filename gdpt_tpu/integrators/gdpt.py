@@ -17,8 +17,11 @@ src/render.cpp:257-370):
 - otherwise the offset replays the base path's BSDF random numbers from
   its own vertex with a pdf-ratio Jacobian ("random number reuse" shift,
   reference: small_gdpt.cpp:272-279, src/path_tracing.h:780-959);
-- NEE is disabled; paths terminate at the first emissive hit
-  (reference: src/path_tracing.h:520, small_gdpt.cpp:183);
+- gradient paths terminate at the first emissive hit and carry no NEE
+  (reference: src/path_tracing.h:520, small_gdpt.cpp:183), but the
+  *primal* image is estimated with full NEE + MIS alongside (the
+  reference's BF-only primal is unusably noisy for small lights; the
+  Poisson data term anchors to the NEE primal instead);
 - per-sample MIS weights w = p / (p + p_shift * J) combine the two
   one-sided difference estimates of each gradient
   (reference: small_gdpt.cpp:488-512, src/render.cpp:311-318);
@@ -44,6 +47,7 @@ from gdpt_tpu.ops import intersect as isect
 from gdpt_tpu.ops import lights as lgt
 from gdpt_tpu.ops import materials as mat
 from gdpt_tpu.ops import poisson
+from gdpt_tpu.integrators.path import nee_contribution
 from gdpt_tpu.scene import camera as gcam
 from gdpt_tpu.scene import model as M
 from gdpt_tpu.scene.build import DeviceScene, Scene, SceneStatic
@@ -59,11 +63,13 @@ class GdptSample(NamedTuple):
     differences (the reference's GraidentPTRadiance after driver math,
     reference: src/intersection.h:65-77, src/render.cpp:311-318)."""
 
-    primal: jnp.ndarray    # (3,)
-    gx_here: jnp.ndarray   # (3,) estimate of u[x] - u[x-1] stored at x
-    gx_next: jnp.ndarray   # (3,) estimate of u[x+1] - u[x] stored at x
-    gy_here: jnp.ndarray   # (3,)
-    gy_next: jnp.ndarray   # (3,)
+    primal: jnp.ndarray     # (3,) NEE+MIS estimate (the data term)
+    primal_bf: jnp.ndarray  # (3,) BF emitter-hit estimate (noise-matched
+    #                         to the gradients, as in the reference)
+    gx_here: jnp.ndarray    # (3,) estimate of u[x] - u[x-1] stored at x
+    gx_next: jnp.ndarray    # (3,) estimate of u[x+1] - u[x] stored at x
+    gy_here: jnp.ndarray    # (3,)
+    gy_next: jnp.ndarray    # (3,)
 
 
 def _is_kind(scene: DeviceScene, static: SceneStatic, material_id, kind):
@@ -106,7 +112,15 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
     # (reference: src/path_tracing.h:424-443).
     off_valid = off_v.valid & (off_v.material_id == base_v.material_id)
 
+    # NEE+MIS primal radiance runs alongside the gradient estimator.
+    radiance0 = jnp.where(
+        base_v.valid,
+        lgt.emission_at_vertex(scene, static, base_v, -base_d),
+        jnp.zeros(3, REAL),
+    )
+
     state = dict(
+        radiance=radiance0,
         base_v=base_v,
         base_d=base_d,
         contrib=jnp.ones(3, REAL),
@@ -159,6 +173,16 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         extend = s["active"] & ~base_is_light
         dir_view = -s["base_d"]
         params = mat.gather_params(scene, static, base_v)
+        throughput = s["contrib"] / jnp.maximum(s["prob"], 1e-30)
+
+        # Primal NEE (reference path-tracing NEE: src/path_tracing.h:115-227).
+        radiance = s["radiance"]
+        if static.n_lights > 0:
+            nee = nee_contribution(
+                scene, static, key, b, base_v, params, dir_view, used
+            )
+            radiance = radiance + jnp.where(extend, throughput * nee, jnp.zeros(3, REAL))
+
         uv_b = rng.uniform(key, b, rng.SLOT_BSDF_UV, (2,))
         w_b = rng.uniform(key, b, rng.SLOT_BSDF_W)
         samp = mat.sample_bsdf(params, dir_view, base_v, uv_b, w_b, used)
@@ -170,6 +194,24 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         )
         ok_base = samp.valid & (pdf_base > 0) & nxt.valid
         base_diffuse = _is_kind(scene, static, base_v.material_id, M.MAT_LAMBERTIAN)
+
+        # Primal MIS-weighted emitter hit (reference: src/path_tracing.h:291-325).
+        if static.n_lights > 0:
+            dist2 = gm.distance_squared(nxt.position, base_v.position)
+            g2 = jnp.abs(gm.dot(samp.dir_out, nxt.geom_normal)) / jnp.maximum(dist2, 1e-20)
+            p2a = pdf_base * g2
+            hit_light_id = scene.shape_light_id[nxt.shape_id]
+            nxt_is_light = nxt.valid & (hit_light_id >= 0)
+            lid = jnp.maximum(hit_light_id, 0)
+            l_emit = lgt.emission_at_vertex(scene, static, nxt, -samp.dir_out)
+            p1h = lgt.light_pmf(scene, lid) * lgt.pdf_point_on_light(
+                scene, static, lid, nxt.position, nxt.geom_normal, base_v.position
+            )
+            w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
+            c2 = g2 * f_base * l_emit / jnp.maximum(p2a, 1e-30)
+            radiance = radiance + jnp.where(
+                extend & ok_base & nxt_is_light, throughput * c2 * w2, jnp.zeros(3, REAL)
+            )
 
         def offset_step(ov_valid, merged, ov, od, oc, op, oj):
             # Merged: follow the base factors
@@ -266,6 +308,7 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         active = s["active"] & extend & ok_base
 
         return dict(
+            radiance=radiance,
             base_v=new_base_v,
             base_d=new_base_d,
             contrib=new_contrib,
@@ -286,7 +329,8 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
 
     ok = out["done_light"] & (out["prob"] > 0)
     prob = jnp.maximum(out["prob"], 1e-30)
-    primal = jnp.where(ok, out["contrib"] / prob, jnp.zeros(3, REAL))
+    primal = out["radiance"]
+    primal_bf = jnp.where(ok, out["contrib"] / prob, jnp.zeros(3, REAL))
 
     # Per-offset weighted contributions
     # (reference: src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507).
@@ -308,6 +352,7 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
     # gx_here at x estimates u[x] - u[x-1]: base - offset(x-1).
     return GdptSample(
         primal=primal,
+        primal_bf=primal_bf,
         gx_here=diff(0, -1.0),
         gx_next=diff(1, 1.0),
         gy_here=diff(2, -1.0),
@@ -341,12 +386,12 @@ def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
             out = jax.vmap(per_ray)(xs_d, ys_d, pix)
             return jax.tree_util.tree_map(lambda a, o: a + o, acc, out)
 
-        zero = GdptSample(*(jnp.zeros((n_pix, 3), REAL) for _ in range(5)))
+        zero = GdptSample(*(jnp.zeros((n_pix, 3), REAL) for _ in range(6)))
         return jax.lax.fori_loop(0, n_samples, one_sample, zero)
 
     # ~5x the rays of a plain path sample per GDPT sample.
     batch = max(1, (1 << 18) // n_pix)
-    acc = [np.zeros((n_pix, 3), np.float64) for _ in range(5)]
+    acc = [np.zeros((n_pix, 3), np.float64) for _ in range(6)]
     done = 0
     while done < spp:
         n = min(batch, spp - done)
@@ -355,7 +400,7 @@ def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
             acc[i] += np.asarray(a, np.float64)
         done += n
 
-    primal, gxh, gxn, gyh, gyn = (
+    primal, primal_bf, gxh, gxn, gyh, gyn = (
         (a / spp).reshape(h, w, 3).astype(np.float32) for a in acc
     )
     gx, gy = poisson.assemble_gradients(
@@ -366,5 +411,8 @@ def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
     )
     recon = np.where(np.isfinite(recon), np.asarray(recon), 0.0).astype(np.float32)
     if return_aux:
-        return recon, dict(primal=primal, gx=np.asarray(gx), gy=np.asarray(gy))
+        return recon, dict(
+            primal=primal, primal_bf=primal_bf,
+            gx=np.asarray(gx), gy=np.asarray(gy),
+        )
     return recon

