@@ -197,7 +197,118 @@ def intersect_brute_pallas(static, geom_soa, org, d, tnear, tfar):
     return HitSoA(t, prim, u, v)
 
 
+def _anyhit_kernel_body(n_tris, n_sph, tnear,
+                        tri_ref, sph_ref,
+                        ox, oy, oz, dx, dy, dz, tfar,
+                        blocked_out):
+    shape = ox.shape
+    blocked = jnp.zeros(shape, REAL)
+    o_x, o_y, o_z = ox[:], oy[:], oz[:]
+    d_x, d_y, d_z = dx[:], dy[:], dz[:]
+    t_max = tfar[:]
+
+    def tri_body(i, b):
+        v0x = tri_ref[0, i]
+        v0y = tri_ref[1, i]
+        v0z = tri_ref[2, i]
+        e1x = tri_ref[3, i]
+        e1y = tri_ref[4, i]
+        e1z = tri_ref[5, i]
+        e2x = tri_ref[6, i]
+        e2y = tri_ref[7, i]
+        e2z = tri_ref[8, i]
+        px = d_y * e2z - d_z * e2y
+        py = d_z * e2x - d_x * e2z
+        pz = d_x * e2y - d_y * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+        tx = o_x - v0x
+        ty = o_y - v0y
+        tz = o_z - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (d_x * qx + d_y * qy + d_z * qz) * inv
+        t = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= tnear) & (t < t_max)
+        return jnp.maximum(b, hit.astype(REAL))
+
+    if n_tris:
+        blocked = jax.lax.fori_loop(0, n_tris, tri_body, blocked)
+
+    def sph_body(i, b):
+        cx = sph_ref[0, i]
+        cy = sph_ref[1, i]
+        cz = sph_ref[2, i]
+        r = sph_ref[3, i]
+        vx = o_x - cx
+        vy = o_y - cy
+        vz = o_z - cz
+        a = d_x * d_x + d_y * d_y + d_z * d_z
+        inv_a = 1.0 / jnp.where(a != 0, a, 1.0)
+        tm = -(d_x * vx + d_y * vy + d_z * vz) * inv_a
+        mx = vx + d_x * tm
+        my = vy + d_y * tm
+        mz = vz + d_z * tm
+        disc = r * r - (mx * mx + my * my + mz * mz)
+        dt = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+        t0 = tm - dt
+        t1 = tm + dt
+        hit = (disc >= 0) & (a != 0) & (
+            ((t0 >= tnear) & (t0 < t_max)) | ((t1 >= tnear) & (t1 < t_max))
+        )
+        return jnp.maximum(b, hit.astype(REAL))
+
+    if n_sph:
+        blocked = jax.lax.fori_loop(0, n_sph, sph_body, blocked)
+    blocked_out[:] = blocked
+
+
+@functools.partial(jax.jit, static_argnames=("n_tris", "n_sph", "tnear_static"))
+def pallas_occluded_brute(tri_soup, sph_soup, ox, oy, oz, dx, dy, dz, tfar,
+                          n_tris, n_sph, tnear_static):
+    n = ox.shape[0]
+    rows = n // LANES
+    grid = (rows // BLOCK_ROWS,)
+    shape2d = (rows, LANES)
+
+    def reshape(a):
+        return a.reshape(shape2d)
+
+    ray_spec = pl.BlockSpec(
+        (BLOCK_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(_anyhit_kernel_body, n_tris, n_sph, tnear_static)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem, smem] + [ray_spec] * 7,
+        out_specs=ray_spec,
+        out_shape=jax.ShapeDtypeStruct(shape2d, REAL),
+        interpret=jax.default_backend() == "cpu",
+    )(tri_soup, sph_soup, reshape(ox), reshape(oy), reshape(oz),
+      reshape(dx), reshape(dy), reshape(dz), reshape(tfar))
+    return blocked.ravel()
+
+
 def occluded_brute_pallas(static, geom_soa, org, d, tnear, tfar):
-    """Any-hit within [tnear, tfar] (tfar per-ray)."""
-    hit = intersect_brute_pallas(static, geom_soa, org, d, tnear, BIG)
-    return (hit.prim_id >= 0) & (hit.t < tfar)
+    """Any-hit within [tnear, tfar] (tfar per-ray). Returns an f32 mask."""
+    n = org.x.shape[0]
+    block = BLOCK_ROWS * LANES
+    pad = (-n) % block
+
+    def p(a, fill=0.0):
+        if not pad:
+            return a
+        return jnp.concatenate([a, jnp.full(pad, fill, a.dtype)])
+
+    tfar_arr = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+    tri, sph = pack_soups(geom_soa, static.n_tris, static.n_spheres)
+    blocked = pallas_occluded_brute(
+        tri, sph, p(org.x), p(org.y), p(org.z), p(d.x), p(d.y), p(d.z),
+        p(tfar_arr, -1.0),
+        static.n_tris, static.n_spheres, float(tnear),
+    )
+    return blocked[:n] if pad else blocked

@@ -162,19 +162,22 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         e1 = soa.gather(sc.geom.tri_e1, tid)
         e2 = soa.gather(sc.geom.tri_e2, tid)
         gn_tri = soa.normalize(soa.cross(e1, e2))
-        i0 = soa.take(sc.tri_i0, tid)
-        i1 = soa.take(sc.tri_i1, tid)
-        i2 = soa.take(sc.tri_i2, tid)
-        has_n = soa.take(sc.tri_has_normals, tid)
-        b1 = hit.u
-        b2 = hit.v
-        b0 = 1.0 - b1 - b2
-        n_interp = soa.normalize(
-            soa.gather(sc.vtx_normal, i0) * b0
-            + soa.gather(sc.vtx_normal, i1) * b1
-            + soa.gather(sc.vtx_normal, i2) * b2
-        )
-        sn_tri = soa.where(has_n, n_interp, gn_tri)
+        if static.any_mesh_normals:
+            i0 = soa.take(sc.tri_i0, tid)
+            i1 = soa.take(sc.tri_i1, tid)
+            i2 = soa.take(sc.tri_i2, tid)
+            has_n = soa.take(sc.tri_has_normals, tid)
+            b1 = hit.u
+            b2 = hit.v
+            b0 = 1.0 - b1 - b2
+            n_interp = soa.normalize(
+                soa.gather(sc.vtx_normal, i0) * b0
+                + soa.gather(sc.vtx_normal, i1) * b1
+                + soa.gather(sc.vtx_normal, i2) * b2
+            )
+            sn_tri = soa.where(has_n, n_interp, gn_tri)
+        else:
+            sn_tri = gn_tri
         gn = gn_tri
         sn = sn_tri
         shape_id = soa.take(sc.tri_shape_id, tid)

@@ -143,6 +143,7 @@ class SceneStatic:
     options: M.RenderOptions
     any_mesh_light: bool
     any_sphere_light: bool
+    any_mesh_normals: bool
 
 
 class Scene(NamedTuple):
@@ -607,5 +608,6 @@ def build_scene(
             isinstance(l, M.DiffuseAreaLight) and shape_kind[l.shape_id] == SHAPE_SPHERE
             for l in lights
         ),
+        any_mesh_normals=bool(tri_has_n.any()) if n_tris else False,
     )
     return Scene(device, static)
