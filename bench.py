@@ -19,7 +19,7 @@ def main():
     from gdpt_tpu.scene import presets
 
     width = height = 512
-    spp = 128
+    spp = 256
     max_depth = 6
     scene = presets.cornell_box(
         width=width, height=height, spp=spp, max_depth=max_depth
