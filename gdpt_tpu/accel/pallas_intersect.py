@@ -22,6 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gdpt_tpu.core.dtypes import BIG, INT, REAL
+from gdpt_tpu.core.soa import V3
 
 BLOCK_ROWS = 64  # rays per program = BLOCK_ROWS * 128
 LANES = 128
@@ -30,19 +31,25 @@ LANES = 128
 def _tri_kernel_body(n_tris, n_sph, tnear,
                      tri_ref, sph_ref,
                      ox, oy, oz, dx, dy, dz,
-                     t_out, prim_out, u_out, v_out):
+                     t_out, prim_out, u_out, v_out,
+                     gnx_out, gny_out, gnz_out):
     """tri_ref: (9, T) SMEM (v0x v0y v0z e1x e1y e1z e2x e2y e2z).
-    sph_ref: (4, S) SMEM (cx cy cz r)."""
+    sph_ref: (4, S) SMEM (cx cy cz r). Also emits the (unnormalized)
+    geometric normal of the hit primitive — cross(e1,e2) for triangles,
+    hitpoint-center for spheres — saving the XLA-side regather."""
     shape = ox.shape
     best_t = jnp.full(shape, BIG, REAL)
     best_prim = jnp.full(shape, -1, INT)
     best_u = jnp.zeros(shape, REAL)
     best_v = jnp.zeros(shape, REAL)
+    best_gx = jnp.zeros(shape, REAL)
+    best_gy = jnp.zeros(shape, REAL)
+    best_gz = jnp.ones(shape, REAL)
     o_x, o_y, o_z = ox[:], oy[:], oz[:]
     d_x, d_y, d_z = dx[:], dy[:], dz[:]
 
     def tri_body(i, carry):
-        bt, bp, bu, bv = carry
+        bt, bp, bu, bv, bgx, bgy, bgz = carry
         v0x = tri_ref[0, i]
         v0y = tri_ref[1, i]
         v0z = tri_ref[2, i]
@@ -69,19 +76,27 @@ def _tri_kernel_body(n_tris, n_sph, tnear,
         v = (d_x * qx + d_y * qy + d_z * qz) * inv
         t = (e2x * qx + e2y * qy + e2z * qz) * inv
         hit = (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1) & (t >= tnear) & (t < bt)
+        gx = e1y * e2z - e1z * e2y
+        gy = e1z * e2x - e1x * e2z
+        gz = e1x * e2y - e1y * e2x
         bt = jnp.where(hit, t, bt)
         bp = jnp.where(hit, i, bp)
         bu = jnp.where(hit, u, bu)
         bv = jnp.where(hit, v, bv)
-        return bt, bp, bu, bv
+        bgx = jnp.where(hit, gx, bgx)
+        bgy = jnp.where(hit, gy, bgy)
+        bgz = jnp.where(hit, gz, bgz)
+        return bt, bp, bu, bv, bgx, bgy, bgz
 
     if n_tris:
-        best_t, best_prim, best_u, best_v = jax.lax.fori_loop(
-            0, n_tris, tri_body, (best_t, best_prim, best_u, best_v)
+        (best_t, best_prim, best_u, best_v,
+         best_gx, best_gy, best_gz) = jax.lax.fori_loop(
+            0, n_tris, tri_body,
+            (best_t, best_prim, best_u, best_v, best_gx, best_gy, best_gz),
         )
 
     def sph_body(i, carry):
-        bt, bp = carry
+        bt, bp, bgx, bgy, bgz = carry
         cx = sph_ref[0, i]
         cy = sph_ref[1, i]
         cz = sph_ref[2, i]
@@ -105,15 +120,23 @@ def _tri_kernel_body(n_tris, n_sph, tnear,
         hit = (disc >= 0) & (a != 0) & (use_lo | use_hi)
         bt = jnp.where(hit, t, bt)
         bp = jnp.where(hit, n_tris + i, bp)
-        return bt, bp
+        bgx = jnp.where(hit, o_x + t * d_x - cx, bgx)
+        bgy = jnp.where(hit, o_y + t * d_y - cy, bgy)
+        bgz = jnp.where(hit, o_z + t * d_z - cz, bgz)
+        return bt, bp, bgx, bgy, bgz
 
     if n_sph:
-        best_t, best_prim = jax.lax.fori_loop(0, n_sph, sph_body, (best_t, best_prim))
+        best_t, best_prim, best_gx, best_gy, best_gz = jax.lax.fori_loop(
+            0, n_sph, sph_body, (best_t, best_prim, best_gx, best_gy, best_gz)
+        )
 
     t_out[:] = best_t
     prim_out[:] = best_prim
     u_out[:] = best_u
     v_out[:] = best_v
+    gnx_out[:] = best_gx
+    gny_out[:] = best_gy
+    gnz_out[:] = best_gz
 
 
 @functools.partial(
@@ -142,20 +165,19 @@ def pallas_intersect_brute(tri_soup, sph_soup, ox, oy, oz, dx, dy, dz,
     out_shapes = [
         jax.ShapeDtypeStruct(shape2d, REAL),
         jax.ShapeDtypeStruct(shape2d, INT),
-        jax.ShapeDtypeStruct(shape2d, REAL),
-        jax.ShapeDtypeStruct(shape2d, REAL),
-    ]
+    ] + [jax.ShapeDtypeStruct(shape2d, REAL)] * 5
     kernel = functools.partial(_tri_kernel_body, n_tris, n_sph, tnear_static)
-    t, prim, u, v = pl.pallas_call(
+    t, prim, u, v, gx, gy, gz = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem_tri, smem_tri] + [ray_spec] * 6,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 7,
         out_shape=out_shapes,
         interpret=jax.default_backend() == "cpu",
     )(tri_soup, sph_soup, reshape(ox), reshape(oy), reshape(oz),
       reshape(dx), reshape(dy), reshape(dz))
-    return t.ravel(), prim.ravel(), u.ravel(), v.ravel()
+    return (t.ravel(), prim.ravel(), u.ravel(), v.ravel(),
+            gx.ravel(), gy.ravel(), gz.ravel())
 
 
 def pack_soups(geom_soa, n_tris, n_sph):
@@ -188,13 +210,14 @@ def intersect_brute_pallas(static, geom_soa, org, d, tnear, tfar):
         return jnp.concatenate([a, jnp.zeros(pad, a.dtype)]) if pad else a
 
     tri, sph = pack_soups(geom_soa, static.n_tris, static.n_spheres)
-    t, prim, u, v = pallas_intersect_brute(
+    t, prim, u, v, gx, gy, gz = pallas_intersect_brute(
         tri, sph, p(org.x), p(org.y), p(org.z), p(d.x), p(d.y), p(d.z),
         static.n_tris, static.n_spheres, float(tnear),
     )
     if pad:
         t, prim, u, v = t[:n], prim[:n], u[:n], v[:n]
-    return HitSoA(t, prim, u, v)
+        gx, gy, gz = gx[:n], gy[:n], gz[:n]
+    return HitSoA(t, prim, u, v), V3(gx, gy, gz)
 
 
 def _anyhit_kernel_body(n_tris, n_sph, tnear,

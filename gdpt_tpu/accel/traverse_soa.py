@@ -291,14 +291,20 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
-def intersect_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    """Closest hit plus, when the pallas backend runs, the unnormalized
+    geometric normal of the hit primitive (None otherwise)."""
     if static.use_brute_force:
         if _use_pallas():
             from gdpt_tpu.accel import pallas_intersect as pli
 
             return pli.intersect_brute_pallas(static, g, org, d, tnear, tfar)
-        return intersect_brute_soa(static, g, org, d, tnear, tfar)
-    return intersect_bvh_soa(static, g, org, d, tnear, tfar)
+        return intersect_brute_soa(static, g, org, d, tnear, tfar), None
+    return intersect_bvh_soa(static, g, org, d, tnear, tfar), None
+
+
+def intersect_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    return intersect_soa_gn(static, g, org, d, tnear, tfar)[0]
 
 
 def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):

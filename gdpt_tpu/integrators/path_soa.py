@@ -147,8 +147,11 @@ class VertexSoA(NamedTuple):
     #                     layout on TPU, so masks cross op boundaries as f32
 
 
-def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSoA:
-    """Batched hit -> vertex (reference: src/intersection.cpp:7-64)."""
+def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
+              gn_raw: V3 = None) -> VertexSoA:
+    """Batched hit -> vertex (reference: src/intersection.cpp:7-64).
+    gn_raw: optional unnormalized geometric normal from the intersect
+    kernel (skips the triangle regather)."""
     position = org + d * hit.t
     prim = jnp.maximum(hit.prim_id, 0)
     n = prim.shape[0]
@@ -159,9 +162,12 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
     uv_v = hit.v
     if static.n_tris:
         tid = jnp.clip(prim, 0, static.n_tris - 1)
-        e1 = soa.gather(sc.geom.tri_e1, tid)
-        e2 = soa.gather(sc.geom.tri_e2, tid)
-        gn_tri = soa.normalize(soa.cross(e1, e2))
+        if gn_raw is not None:
+            gn_tri = soa.normalize(gn_raw)
+        else:
+            e1 = soa.gather(sc.geom.tri_e1, tid)
+            e2 = soa.gather(sc.geom.tri_e2, tid)
+            gn_tri = soa.normalize(soa.cross(e1, e2))
         if static.any_mesh_normals:
             i0 = soa.take(sc.tri_i0, tid)
             i1 = soa.take(sc.tri_i1, tid)
@@ -183,8 +189,11 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA) -> VertexSo
         shape_id = soa.take(sc.tri_shape_id, tid)
     if static.n_spheres:
         sid = jnp.clip(prim - static.n_tris, 0, static.n_spheres - 1)
-        center = soa.gather(sc.geom.sph_center, sid)
-        gn_s = soa.normalize(position - center)
+        if gn_raw is not None:
+            gn_s = soa.normalize(gn_raw)
+        else:
+            center = soa.gather(sc.geom.sph_center, sid)
+            gn_s = soa.normalize(position - center)
         is_sph = prim >= static.n_tris if static.n_tris else jnp.ones(n, bool)
         gn = soa.where(is_sph, gn_s, gn)
         sn = soa.where(is_sph, gn_s, sn)
@@ -404,8 +413,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         jnp.broadcast_to(c2w[2, 3], (n,)),
     )
 
-    hit = trs.intersect_soa(static, sc.geom, org, d, 0.0, BIG)
-    vertex = shade_hit(static, sc, org, d, hit)
+    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, 0.0, BIG)
+    vertex = shade_hit(static, sc, org, d, hit, gn_raw)
     rays = jnp.ones(n, REAL)
 
     zero = jnp.zeros(n, REAL)
@@ -494,8 +503,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         active = active & sample_ok & (pdf_b > 0)
         rays = rays + jnp.where(active, 1.0, 0.0)
 
-        nxt_hit = trs.intersect_soa(static, sc.geom, v.position, d_out, eps_isect, BIG)
-        nxt = shade_hit(static, sc, v.position, d_out, nxt_hit)
+        nxt_hit, nxt_gn = trs.intersect_soa_gn(
+            static, sc.geom, v.position, d_out, eps_isect, BIG
+        )
+        nxt = shade_hit(static, sc, v.position, d_out, nxt_hit, nxt_gn)
         nxt_ok = nxt.valid > 0
         dist2 = soa.length_squared(nxt.position - v.position)
         g2 = jnp.where(
