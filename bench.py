@@ -25,8 +25,8 @@ def main():
         width=width, height=height, spp=spp, max_depth=max_depth
     )
 
-    # Warmup/compile pass.
-    img, _ = path_soa.render_soa(scene, spp=1, seed=0, return_stats=True)
+    # Warmup/compile pass with the exact sample-batch shape measured below.
+    img, _ = path_soa.render_soa(scene, spp=spp, seed=0, return_stats=True)
 
     t0 = time.perf_counter()
     img, nrays = path_soa.render_soa(scene, spp=spp, seed=0, return_stats=True)

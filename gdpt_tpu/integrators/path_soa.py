@@ -6,10 +6,11 @@ batch form over (N,) component arrays so every elementwise op fills the
 TPU's VPU lanes (see core/soa.py). Cross-validated against the per-ray
 implementation in tests/test_soa.py.
 
-Coverage: Lambertian surfaces with constant/checkerboard reflectance,
-mesh + sphere area lights, constant and image environment maps. Scenes
-outside this envelope fall back to the per-ray integrator
-(render.py picks automatically via supports_soa()).
+Coverage: the full 9-material stack (ops/materials_soa.py) with
+constant/checkerboard spectrum slots and constant float slots, mesh +
+sphere area lights, constant environment maps. Scenes outside this
+envelope (image textures, image envmaps) fall back to the per-ray
+integrator (render.py picks automatically via supports_soa()).
 """
 
 from functools import partial
@@ -23,6 +24,7 @@ from gdpt_tpu.accel import traverse_soa as trs
 from gdpt_tpu.core import soa
 from gdpt_tpu.core.dtypes import BIG, INT, REAL
 from gdpt_tpu.core.soa import V3
+from gdpt_tpu.ops import materials_soa as msoa
 from gdpt_tpu.scene import model as M
 from gdpt_tpu.scene.build import LIGHT_ENVMAP, SHAPE_MESH, SHAPE_SPHERE, Scene
 from gdpt_tpu.scene import textures as tex
@@ -50,6 +52,7 @@ class SceneSoA(NamedTuple):
     tri_i2: jnp.ndarray
     tri_shape_id: jnp.ndarray
     tri_has_normals: jnp.ndarray
+    tri_has_uvs: jnp.ndarray
     sph_shape_id: jnp.ndarray
     shape_kind: jnp.ndarray
     shape_material_id: jnp.ndarray
@@ -57,13 +60,7 @@ class SceneSoA(NamedTuple):
     shape_area: jnp.ndarray
     shape_prim_offset: jnp.ndarray
     # materials: constant reflectance per material (checker via 2 colors)
-    mat_refl_kind: jnp.ndarray  # TEX_CONST / TEX_CHECKER
-    mat_refl0: V3
-    mat_refl1: V3
-    mat_uscale: jnp.ndarray
-    mat_vscale: jnp.ndarray
-    mat_uoffset: jnp.ndarray
-    mat_voffset: jnp.ndarray
+    mat_tables: msoa.MaterialTablesSoA
     # lights
     light_kind: jnp.ndarray
     light_shape_id: jnp.ndarray
@@ -76,15 +73,12 @@ class SceneSoA(NamedTuple):
 
 
 def supports_soa(scene: Scene) -> bool:
-    """The SoA fast path covers Lambertian-only scenes without image
-    textures and with constant (or absent) envmaps."""
+    """The SoA fast path covers the full material stack with
+    constant/checkerboard textures and constant (or absent) envmaps."""
     static = scene.static
     if static.options.integrator != "path":
         return False
-    if set(static.used_material_kinds) - {M.MAT_LAMBERTIAN}:
-        return False
-    kinds = np.asarray(scene.device.materials.refl.kind)
-    if (kinds == tex.TEX_IMAGE).any():
+    if not msoa.supports_soa_materials(scene):
         return False
     if static.has_envmap:
         env_kind = int(np.asarray(scene.device.envmap.tex.kind)[0])
@@ -110,19 +104,14 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         tri_i2=dev.tri_index[:, 2],
         tri_shape_id=dev.geom.tri_shape_id,
         tri_has_normals=dev.tri_has_normals,
+        tri_has_uvs=dev.tri_has_uvs,
         sph_shape_id=dev.geom.sph_shape_id,
         shape_kind=dev.shape_kind,
         shape_material_id=dev.shape_material_id,
         shape_light_id=dev.shape_light_id,
         shape_area=dev.shape_area,
         shape_prim_offset=dev.shape_prim_offset,
-        mat_refl_kind=mt.refl.kind,
-        mat_refl0=soa.from_rows(mt.refl.value),
-        mat_refl1=soa.from_rows(mt.refl.value2),
-        mat_uscale=mt.refl.uscale,
-        mat_vscale=mt.refl.vscale,
-        mat_uoffset=mt.refl.uoffset,
-        mat_voffset=mt.refl.voffset,
+        mat_tables=msoa.build_material_tables(dev),
         light_kind=dev.lights.kind,
         light_shape_id=dev.lights.shape_id,
         light_intensity=soa.from_rows(dev.lights.intensity),
@@ -158,7 +147,9 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     gn = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.ones(n, REAL))
     sn = gn
     shape_id = jnp.zeros(n, INT)
-    uv_u = hit.u
+    # Barycentric fallback uv mapping ((0,0),(1,0),(1,1)) as in
+    # reference: src/shapes/triangle_mesh.inl:84-90.
+    uv_u = hit.u + hit.v
     uv_v = hit.v
     if static.n_tris:
         tid = jnp.clip(prim, 0, static.n_tris - 1)
@@ -187,6 +178,24 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         gn = gn_tri
         sn = sn_tri
         shape_id = soa.take(sc.tri_shape_id, tid)
+        if static.any_mesh_uvs:
+            i0u = soa.take(sc.tri_i0, tid)
+            i1u = soa.take(sc.tri_i1, tid)
+            i2u = soa.take(sc.tri_i2, tid)
+            has_uv = soa.take(sc.tri_has_uvs, tid)
+            b0u = 1.0 - hit.u - hit.v
+            iu = (
+                soa.take(sc.vtx_uv_u, i0u) * b0u
+                + soa.take(sc.vtx_uv_u, i1u) * hit.u
+                + soa.take(sc.vtx_uv_u, i2u) * hit.v
+            )
+            iv = (
+                soa.take(sc.vtx_uv_v, i0u) * b0u
+                + soa.take(sc.vtx_uv_v, i1u) * hit.u
+                + soa.take(sc.vtx_uv_v, i2u) * hit.v
+            )
+            uv_u = jnp.where(has_uv, iu, uv_u)
+            uv_v = jnp.where(has_uv, iv, uv_v)
     if static.n_spheres:
         sid = jnp.clip(prim - static.n_tris, 0, static.n_spheres - 1)
         if gn_raw is not None:
@@ -198,6 +207,13 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         gn = soa.where(is_sph, gn_s, gn)
         sn = soa.where(is_sph, gn_s, sn)
         shape_id = jnp.where(is_sph, soa.take(sc.sph_shape_id, sid), shape_id)
+        # Spherical-coordinate uv (reference: src/shapes/sphere.inl:94-101).
+        elev = jnp.arccos(jnp.clip(gn_s.y, -1.0, 1.0))
+        azim = jnp.arctan2(gn_s.z, gn_s.x)
+        su = azim / (2.0 * jnp.pi)
+        su = jnp.where(su < 0, su + 1.0, su)
+        uv_u = jnp.where(is_sph, su, uv_u)
+        uv_v = jnp.where(is_sph, elev / jnp.pi, uv_v)
     frame = soa.coordinate_system(sn)
     flip = soa.dot(gn, sn) < 0
     gn = soa.where(flip, -gn, gn)
@@ -214,18 +230,6 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     )
 
 
-def reflectance(sc: SceneSoA, v: VertexSoA) -> V3:
-    """Lambertian reflectance slot: constant or checkerboard."""
-    mid = jnp.maximum(v.material_id, 0)
-    c0 = soa.gather(sc.mat_refl0, mid)
-    kind = soa.take(sc.mat_refl_kind, mid)
-    c1 = soa.gather(sc.mat_refl1, mid)
-    lu = jnp.mod(v.uv_u * soa.take(sc.mat_uscale, mid) + soa.take(sc.mat_uoffset, mid), 1.0)
-    lv = jnp.mod(v.uv_v * soa.take(sc.mat_vscale, mid) + soa.take(sc.mat_voffset, mid), 1.0)
-    cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
-    cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
-    checker = soa.where(cx * cy == 1, c0, c1)
-    return soa.where(kind == tex.TEX_CHECKER, checker, c0)
 
 
 def emission(sc: SceneSoA, v: VertexSoA, view_dir: V3) -> V3:
@@ -236,13 +240,6 @@ def emission(sc: SceneSoA, v: VertexSoA, view_dir: V3) -> V3:
     ok = (v.light_id >= 0) & facing
     zero = jnp.zeros_like(intensity.x)
     return soa.where(ok, intensity, V3(zero, zero, zero))
-
-
-def _sample_cos_hemisphere(frame: soa.Frame, u0, u1) -> V3:
-    phi = 2.0 * jnp.pi * u0
-    r = jnp.sqrt(u1)
-    local = V3(r * jnp.cos(phi), r * jnp.sin(phi), jnp.sqrt(jnp.clip(1.0 - u1, 0.0, 1.0)))
-    return soa.to_world(frame, local)
 
 
 def _searchsorted_cdf(cdf_row, u):
@@ -367,6 +364,7 @@ def envmap_pdf_for_dir(static, sc: SceneSoA, d: V3):
 def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
     """One sample for every ray in the batch; returns (radiance V3, rays).
     `static` is the hashable SceneStatic; `camera` the CameraArrays."""
+    used = static.used_material_kinds
     w, h = static.width, static.height
     n = xs.shape[0]
     n_iters = HARD_BOUNCE_CAP if static.options.max_depth < 0 else max(
@@ -429,6 +427,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     state = dict(
         radiance=radiance,
         throughput=V3(jnp.ones(n, REAL), jnp.ones(n, REAL), jnp.ones(n, REAL)),
+        eta_scale=jnp.ones(n, REAL),
         d=d,
         vertex=vertex,
         active=vertex.valid,  # f32 mask
@@ -448,12 +447,12 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         b = s["bounce"] + 1
         active = s["active"] > 0
         dir_view = -d
-        refl = reflectance(sc, v)
-        # Opaque frame flip (reference: lambertian.inl:10-13).
-        frame = soa.flip(v.frame, soa.dot(v.frame.n, dir_view) < 0)
+        params = msoa.gather_params_soa(
+            sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v
+        )
         rays = s["rays"]
 
-        # ---- NEE ----
+        # ---- NEE (reference: src/path_tracing.h:115-227) ----
         radiance = s["radiance"]
         if static.n_lights > 0:
             lu0, lu1 = uni2(b, _CTR_LIGHT_UV)
@@ -472,10 +471,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
             g = jnp.where(is_env, 1.0, g_area) * unoccluded
             p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
-            # Lambertian eval & pdf (reference: lambertian.inl).
-            cos_out = soa.dot(frame.n, dl)
-            above = (soa.dot(v.gn, dir_view) >= 0) & (soa.dot(v.gn, dl) >= 0)
-            f_val = jnp.where(above, jnp.maximum(cos_out, 0.0) / jnp.pi, 0.0)
+            f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
+            p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
             l_emit = soa.where(
                 is_env,
                 sc.env_value * jnp.ones(n, REAL),
@@ -485,23 +482,31 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
                     V3(zero, zero, zero),
                 ),
             )
-            p2 = f_val * g  # pdf == f for cosine sampling
             ok = (g > 0) & (p1 > 0) & active
             w1 = jnp.where(ok, p1 * p1 / jnp.maximum(p1 * p1 + p2 * p2, 1e-30), 0.0)
-            scale = jnp.where(ok, g * f_val * w1 / jnp.maximum(p1, 1e-30), 0.0)
-            contrib = refl * l_emit * scale
-            radiance = radiance + s["throughput"] * contrib
+            scale = g * w1 / jnp.maximum(p1, 1e-30)
+            # Select, don't multiply-by-zero: f_nee can be NaN on masked
+            # lanes (degenerate dirs) and NaN * 0 poisons the sum.
+            contrib = s["throughput"] * f_nee * l_emit * scale
+            zero3 = V3(zero, zero, zero)
+            radiance = radiance + soa.where(ok, contrib, zero3)
             rays = rays + jnp.where(active, 1.0, 0.0)
 
-        # ---- BSDF (cosine) sampling ----
+        # ---- BSDF sampling (reference: src/path_tracing.h:232-345) ----
         bu0, bu1 = uni2(b, _CTR_BSDF_UV)
-        d_out = _sample_cos_hemisphere(frame, bu0, bu1)
-        cos_out = soa.dot(frame.n, d_out)
-        pdf_b = jnp.maximum(cos_out, 0.0) / jnp.pi
-        f_b = jnp.maximum(cos_out, 0.0) / jnp.pi  # times refl below
-        sample_ok = soa.dot(v.gn, dir_view) >= 0
-        active = active & sample_ok & (pdf_b > 0)
+        w_lobe, u_rr = uni2(b, _CTR_BSDF_W)
+        samp = msoa.sample_bsdf_soa(params, dir_view, v.gn, v.frame, bu0, bu1,
+                                    w_lobe, used)
+        d_out = samp.dir_out
+        f_b = msoa.eval_bsdf_soa(params, dir_view, d_out, v.gn, v.frame, used)
+        pdf_b = msoa.pdf_bsdf_soa(params, dir_view, d_out, v.gn, v.frame, used)
+        active = active & (samp.valid > 0) & (pdf_b > 0)
         rays = rays + jnp.where(active, 1.0, 0.0)
+        eta_scale = jnp.where(
+            samp.eta != 0,
+            s["eta_scale"] / jnp.where(samp.eta != 0, samp.eta, 1.0) ** 2,
+            s["eta_scale"],
+        )
 
         nxt_hit, nxt_gn = trs.intersect_soa_gn(
             static, sc.geom, v.position, d_out, eps_isect, BIG
@@ -516,13 +521,12 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         )
         p2a = pdf_b * g2
 
-        # Emissive hit with MIS.
+        # Emissive hit with MIS (reference: src/path_tracing.h:291-325).
         if static.n_lights > 0:
             hit_light = nxt_ok & (nxt.light_id >= 0) & active
             l_emit = emission(sc, nxt, -1.0 * d_out)
             lid = jnp.maximum(nxt.light_id, 0)
             lshape = jnp.maximum(soa.take(sc.light_shape_id, lid), 0)
-            # pdf of NEE for this point (mesh area / sphere cone).
             pdf_mesh = 1.0 / jnp.maximum(soa.take(sc.shape_area, lshape), 1e-20)
             if static.any_sphere_light:
                 sph = soa.take(sc.shape_prim_offset, lshape)
@@ -538,31 +542,36 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
                     pdf_mesh,
                     pdf_cone_sa * jnp.abs(soa.dot(nxt.gn, d_out)) / jnp.maximum(dist2, 1e-20),
                 )
-                pdf_pt = jnp.where(
+                pdf_pt2 = jnp.where(
                     soa.take(sc.shape_kind, lshape) == SHAPE_SPHERE, pdf_sph, pdf_mesh
                 )
             else:
-                pdf_pt = pdf_mesh
-            p1h = soa.take(sc.light_pmf, lid) * pdf_pt
+                pdf_pt2 = pdf_mesh
+            p1h = soa.take(sc.light_pmf, lid) * pdf_pt2
             w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
-            scale = jnp.where(hit_light, g2 * f_b * w2 / jnp.maximum(p2a, 1e-30), 0.0)
-            radiance = radiance + s["throughput"] * refl * l_emit * scale
+            scale = g2 * w2 / jnp.maximum(p2a, 1e-30)
+            contrib = s["throughput"] * f_b * l_emit * scale
+            radiance = radiance + soa.where(hit_light, contrib, V3(zero, zero, zero))
         if static.has_envmap:
             miss = active & ~nxt_ok
             env_id = static.envmap_light_id
             p1e = sc.light_pmf[env_id] * envmap_pdf_for_dir(static, sc, d_out)
             w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
-            scale = jnp.where(miss, g2 * f_b * w2e / jnp.maximum(p2a, 1e-30), 0.0)
-            radiance = radiance + s["throughput"] * refl * sc.env_value * scale
+            scale = g2 * w2e / jnp.maximum(p2a, 1e-30)
+            contrib = s["throughput"] * f_b * sc.env_value * scale
+            radiance = radiance + soa.where(miss, contrib, V3(zero, zero, zero))
 
         active = active & nxt_ok
 
         # Russian roulette (reference: src/path_tracing.h:334-341).
-        throughput = s["throughput"] * refl * (g2 * f_b / jnp.maximum(p2a, 1e-30))
+        throughput = s["throughput"] * f_b * (g2 / jnp.maximum(p2a, 1e-30))
         num_vertices = s["bounce"] + 3
         do_rr = (num_vertices - 1) >= static.options.rr_depth
-        _, u_rr = uni2(b, _CTR_BSDF_W)
-        rr_prob = jnp.where(do_rr, jnp.minimum(soa.vmax(throughput), 0.95), 1.0)
+        rr_prob = jnp.where(
+            do_rr,
+            jnp.minimum(soa.vmax(throughput) / jnp.maximum(eta_scale, 1e-20), 0.95),
+            1.0,
+        )
         active = active & ((~do_rr) | (u_rr <= rr_prob))
         throughput = throughput * (1.0 / jnp.maximum(rr_prob, 1e-20))
         throughput = soa.where(active, throughput, s["throughput"])
@@ -573,6 +582,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         return dict(
             radiance=radiance,
             throughput=throughput,
+            eta_scale=jnp.where(active, eta_scale, s["eta_scale"]),
             d=soa.where(active, d_out, d),
             vertex=new_vertex,
             active=active.astype(REAL),

@@ -144,6 +144,7 @@ class SceneStatic:
     any_mesh_light: bool
     any_sphere_light: bool
     any_mesh_normals: bool
+    any_mesh_uvs: bool
 
 
 class Scene(NamedTuple):
@@ -609,5 +610,6 @@ def build_scene(
             for l in lights
         ),
         any_mesh_normals=bool(tri_has_n.any()) if n_tris else False,
+        any_mesh_uvs=bool(tri_has_uv.any()) if n_tris else False,
     )
     return Scene(device, static)
