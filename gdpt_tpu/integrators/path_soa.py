@@ -7,10 +7,13 @@ TPU's VPU lanes (see core/soa.py). Cross-validated against the per-ray
 implementation in tests/test_soa.py.
 
 Coverage: the full 9-material stack (ops/materials_soa.py) with
-constant/checkerboard spectrum slots and constant float slots, mesh +
-sphere area lights, constant environment maps. Scenes outside this
-envelope (image textures, image envmaps) fall back to the per-ray
-integrator (render.py picks automatically via supports_soa()).
+constant/checkerboard/image spectrum slots and constant float slots,
+mesh + sphere area lights, constant and image environment maps
+(ops/textures_soa.py; image lookups are level-0 bilinear — the per-ray
+path keeps trilinear mip filtering, which makes its BSDF-escape envmap
+lookups blurrier than its pdf table; the SoA estimator is the
+self-consistent one). Scenes with textured float slots fall back to the
+per-ray integrator (render.py picks automatically via supports_soa()).
 """
 
 from functools import partial
@@ -25,6 +28,7 @@ from gdpt_tpu.core import soa
 from gdpt_tpu.core.dtypes import BIG, INT, REAL
 from gdpt_tpu.core.soa import V3
 from gdpt_tpu.ops import materials_soa as msoa
+from gdpt_tpu.ops import textures_soa as tsoa
 from gdpt_tpu.scene import model as M
 from gdpt_tpu.scene.build import LIGHT_ENVMAP, SHAPE_MESH, SHAPE_SPHERE, Scene
 from gdpt_tpu.scene import textures as tex
@@ -69,30 +73,32 @@ class SceneSoA(NamedTuple):
     light_tri_first: jnp.ndarray
     light_pmf: jnp.ndarray
     light_cdf: jnp.ndarray
-    env_value: V3  # constant envmap radiance * scale
+    # envmap (dummy tables when the scene has none)
+    env_value: V3  # constant envmap radiance (unscaled)
+    env_to_world: jnp.ndarray
+    env_to_local: jnp.ndarray
+    env_scale: jnp.ndarray
+    env_img_id: jnp.ndarray
+    env_cdf_rows: jnp.ndarray
+    env_pdf_rows: jnp.ndarray
+    env_cdf_marginals: jnp.ndarray
+    env_pdf_marginals: jnp.ndarray
 
 
 def supports_soa(scene: Scene) -> bool:
-    """The SoA fast path covers the full material stack with
-    constant/checkerboard textures and constant (or absent) envmaps."""
+    """The SoA fast path covers the full material stack
+    (constant/checkerboard/image spectrum slots, constant float slots)
+    and all light types including image envmaps."""
     static = scene.static
     if static.options.integrator != "path":
         return False
-    if not msoa.supports_soa_materials(scene):
-        return False
-    if static.has_envmap:
-        env_kind = int(np.asarray(scene.device.envmap.tex.kind)[0])
-        if env_kind != tex.TEX_CONST:
-            return False
-        if not np.allclose(np.asarray(scene.device.envmap.to_world), np.eye(4)):
-            return False
-    return True
+    return msoa.supports_soa_materials(scene)
 
 
 def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
-    env_rgb = dev.envmap.tex.value[0] * dev.envmap.scale
+    env_rgb = dev.envmap.tex.value[0]
     return SceneSoA(
         geom=trs.geom_soa_from_aos(dev.geom),
         vtx_pos=soa.from_rows(dev.vtx_pos),
@@ -120,6 +126,28 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         light_pmf=dev.lights.pmf,
         light_cdf=dev.lights.cdf,
         env_value=soa.V3(env_rgb[0], env_rgb[1], env_rgb[2]),
+        env_to_world=dev.envmap.to_world,
+        env_to_local=dev.envmap.to_local,
+        env_scale=dev.envmap.scale,
+        env_img_id=dev.envmap.tex.img_id[0],
+        env_cdf_rows=dev.envmap.dist.cdf_rows,
+        env_pdf_rows=dev.envmap.dist.pdf_rows,
+        env_cdf_marginals=dev.envmap.dist.cdf_marginals,
+        env_pdf_marginals=dev.envmap.dist.pdf_marginals,
+    )
+
+
+def _env_view(static, sc: SceneSoA) -> tsoa.EnvmapSoA:
+    """EnvmapSoA with static tex_kind / width / height (safe to build
+    inside a traced function: shapes and SceneStatic fields are static)."""
+    h = sc.env_pdf_marginals.shape[0]
+    w = sc.env_pdf_rows.shape[1]
+    return tsoa.EnvmapSoA(
+        sc.env_to_world, sc.env_to_local, sc.env_scale,
+        tex.TEX_IMAGE if static.envmap_is_image else tex.TEX_CONST,
+        sc.env_value, sc.env_img_id,
+        sc.env_cdf_rows, sc.env_pdf_rows,
+        sc.env_cdf_marginals, sc.env_pdf_marginals, w, h,
     )
 
 
@@ -331,34 +359,20 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
         pdf = jnp.where(is_sph, pdf_s, pdf)
     is_env = jnp.zeros(n, bool)
     if static.has_envmap:
-        # Constant envmap: uniform-uv sampling over the dummy 2x2 table,
-        # direction pdf = 1 / (2 pi^2 sin(elev)) (reference: envmap.inl:22-42).
-        azimuth = u0 * 2.0 * jnp.pi
-        elevation = u1 * jnp.pi
-        wdir = V3(
-            jnp.sin(azimuth) * jnp.sin(elevation),
-            jnp.cos(elevation),
-            -jnp.cos(azimuth) * jnp.sin(elevation),
-        )
-        sin_e = jnp.sin(elevation)
+        # CDF-table importance sampling (uniform for constant envmaps,
+        # luminance-weighted for image envmaps; reference: envmap.inl:22-42).
+        wdir, pdf_env = tsoa.envmap_sample_dir(_env_view(static, sc), u0, u1)
         env = soa.take(sc.light_kind, light_id) == LIGHT_ENVMAP
         pos = soa.where(env, V3(*(jnp.zeros(n, REAL),) * 3), pos)
         nrm = soa.where(env, -1.0 * wdir, nrm)
-        pdf = jnp.where(
-            env,
-            jnp.where(sin_e > 0, 1.0 / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0),
-            pdf,
-        )
+        pdf = jnp.where(env, pdf_env, pdf)
         is_env = env
     return light_id, pos, nrm, pdf, is_env
 
 
 def envmap_pdf_for_dir(static, sc: SceneSoA, d: V3):
-    """pdf of the constant-envmap NEE sampler for direction d."""
-    sin_e = jnp.sqrt(jnp.maximum(0.0, 1.0 - d.y * d.y))
-    return jnp.where(
-        sin_e > 0, 1.0 / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0
-    )
+    """pdf of the envmap NEE sampler for direction d."""
+    return tsoa.envmap_pdf_dir(_env_view(static, sc), d)
 
 
 def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
@@ -419,7 +433,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     v_ok = vertex.valid > 0
     radiance = soa.where(v_ok, emission(sc, vertex, -d), V3(zero, zero, zero))
     if static.has_envmap:
-        radiance = soa.where(v_ok, radiance, sc.env_value * jnp.ones(n, REAL))
+        env_primary = tsoa.envmap_emission_soa(
+            _env_view(static, sc), sc.mat_tables.pool3, d
+        )
+        radiance = soa.where(v_ok, radiance, env_primary)
 
     if n_iters == 0:
         return radiance, rays
@@ -448,7 +465,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         active = s["active"] > 0
         dir_view = -d
         params = msoa.gather_params_soa(
-            sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v
+            sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
+            static.spec_image_slots,
         )
         rays = s["rays"]
 
@@ -473,9 +491,14 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
             f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
             p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
+            env_nee = (
+                tsoa.envmap_emission_soa(_env_view(static, sc),
+                                         sc.mat_tables.pool3, dl)
+                if static.has_envmap else V3(zero, zero, zero)
+            )
             l_emit = soa.where(
                 is_env,
-                sc.env_value * jnp.ones(n, REAL),
+                env_nee,
                 soa.where(
                     soa.dot(n_l, -1.0 * dl) > 0,
                     soa.gather(sc.light_intensity, light_id),
@@ -558,7 +581,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             p1e = sc.light_pmf[env_id] * envmap_pdf_for_dir(static, sc, d_out)
             w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
             scale = g2 * w2e / jnp.maximum(p2a, 1e-30)
-            contrib = s["throughput"] * f_b * sc.env_value * scale
+            env_hit = tsoa.envmap_emission_soa(
+                _env_view(static, sc), sc.mat_tables.pool3, d_out
+            )
+            contrib = s["throughput"] * f_b * env_hit * scale
             radiance = radiance + soa.where(miss, contrib, V3(zero, zero, zero))
 
         active = active & nxt_ok
@@ -629,7 +655,7 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
 
     # Amortize per-pass dispatch/transfer: big sample batches per jit call
     # (the fori accumulator is O(N) memory regardless of batch size).
-    batch = max(1, (1 << 25) // n)
+    batch = max(1, (1 << 26) // n)
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0

@@ -48,7 +48,7 @@ class BSDFSampleSoA(NamedTuple):
 
 
 class MaterialTablesSoA(NamedTuple):
-    """Component views of the scene material table (const/checker slots)."""
+    """Component views of the scene material table."""
 
     kind: jnp.ndarray
     eta: jnp.ndarray
@@ -56,7 +56,9 @@ class MaterialTablesSoA(NamedTuple):
     spec_c0: tuple        # 3 x V3
     spec_c1: tuple        # 3 x V3
     spec_uv: tuple        # 3 x (uscale, vscale, uoffset, voffset)
+    spec_img: tuple       # 3 x (m,) pool image ids
     float_const: tuple    # 11 x (m,)
+    pool3: object         # textures_soa.Pool3SoA
 
 
 _FLOAT_SLOTS = [
@@ -68,36 +70,40 @@ _SPEC_SLOTS = ["refl", "spec_refl", "spec_trans"]
 
 
 def build_material_tables(scene_device) -> MaterialTablesSoA:
+    from gdpt_tpu.ops import textures_soa as tsoa
+
     mt = scene_device.materials
-    spec_kind, spec_c0, spec_c1, spec_uv = [], [], [], []
+    spec_kind, spec_c0, spec_c1, spec_uv, spec_img = [], [], [], [], []
     for s in _SPEC_SLOTS:
         d: tex.TexDesc = getattr(mt, s)
         spec_kind.append(d.kind)
         spec_c0.append(soa.from_rows(d.value))
         spec_c1.append(soa.from_rows(d.value2))
         spec_uv.append((d.uscale, d.vscale, d.uoffset, d.voffset))
+        spec_img.append(d.img_id)
     float_const = tuple(getattr(mt, s).value[:, 0] for s in _FLOAT_SLOTS)
     return MaterialTablesSoA(
         mt.kind, mt.eta, tuple(spec_kind), tuple(spec_c0), tuple(spec_c1),
-        tuple(spec_uv), float_const,
+        tuple(spec_uv), tuple(spec_img), float_const,
+        tsoa.pool3_soa(scene_device.pool3),
     )
 
 
 def supports_soa_materials(scene) -> bool:
-    """All spectrum slots const/checker; all float slots const."""
+    """Spectrum slots: const/checker/image; float slots: const only."""
     import numpy as np
 
     mt = scene.device.materials
-    for s in _SPEC_SLOTS:
-        if (np.asarray(getattr(mt, s).kind) == tex.TEX_IMAGE).any():
-            return False
     for s in _FLOAT_SLOTS:
         if (np.asarray(getattr(mt, s).kind) != tex.TEX_CONST).any():
             return False
     return True
 
 
-def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v) -> V3:
+def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v,
+                    img_used: bool) -> V3:
+    from gdpt_tpu.ops import textures_soa as tsoa
+
     i = _SPEC_SLOTS.index(slot)
     kind = soa.take(tables.spec_kind[i], mid)
     c0 = soa.gather(tables.spec_c0[i], mid)
@@ -108,11 +114,20 @@ def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v) -> V3:
     cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
     cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
     checker = soa.where(cx * cy == 1, c0, c1)
-    return soa.where(kind == tex.TEX_CHECKER, checker, c0)
+    out = soa.where(kind == tex.TEX_CHECKER, checker, c0)
+    # Image branch compiled in only when some material uses it
+    # (img_used comes from the static SceneStatic.spec_image_slots).
+    if img_used:
+        img = tsoa.bilinear_level0(
+            tables.pool3, soa.take(tables.spec_img[i], mid), lu, lv
+        )
+        out = soa.where(kind == tex.TEX_IMAGE, img, out)
+    return out
 
 
 def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
-                      uv_u, uv_v) -> MatParamsSoA:
+                      uv_u, uv_v, spec_image_slots=(False, False, False)
+                      ) -> MatParamsSoA:
     from gdpt_tpu.ops.materials import _SLOT_USERS
 
     mid = jnp.maximum(material_id, 0)
@@ -123,7 +138,10 @@ def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
 
     def spec(slot):
         if used & _SLOT_USERS[slot]:
-            return _eval_spec_slot(tables, slot, mid, uv_u, uv_v)
+            return _eval_spec_slot(
+                tables, slot, mid, uv_u, uv_v,
+                spec_image_slots[_SPEC_SLOTS.index(slot)],
+            )
         return zero3
 
     def flt(slot):

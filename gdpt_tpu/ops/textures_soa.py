@@ -1,0 +1,200 @@
+"""Batched (SoA) texture and environment-map lookups.
+
+Image textures read the flat mip pool (scene/textures.py) through (N,)
+gathers on component arrays. The SoA integrator carries no ray
+differentials, so image lookups sample the finest mip level (bilinear);
+the per-ray path keeps full trilinear mip filtering.
+
+Environment-map importance sampling uses the same 2D CDF tables as the
+per-ray path (core/distributions.py, mirroring reference:
+src/table_dist.cpp:119-143) but searches the per-row conditional CDF
+with an explicit bisection loop of clip-mode flat gathers —
+materializing the gathered rows would be O(N * width).
+"""
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gdpt_tpu.core import soa
+from gdpt_tpu.core.dtypes import INT, REAL
+from gdpt_tpu.core.soa import V3
+
+
+class Pool3SoA(NamedTuple):
+    data: V3                  # components of the (n_pixels, 3) pool
+    level_offset: jnp.ndarray
+    level_w: jnp.ndarray
+    level_h: jnp.ndarray
+    n_levels: jnp.ndarray
+
+
+def pool3_soa(pool) -> Pool3SoA:
+    return Pool3SoA(
+        soa.from_rows(pool.data),
+        pool.level_offset, pool.level_w, pool.level_h, pool.n_levels,
+    )
+
+
+def bilinear_level0(pool: Pool3SoA, img_id, u, v) -> V3:
+    """Bilinear tap at mip level 0 (reference: src/mipmap.h:50-72
+    pixel-center convention)."""
+    w = soa.take(pool.level_w[:, 0], img_id)
+    h = soa.take(pool.level_h[:, 0], img_id)
+    off = soa.take(pool.level_offset[:, 0], img_id)
+    x = u * w.astype(REAL) - 0.5
+    y = v * h.astype(REAL) - 0.5
+    x0 = jnp.floor(x).astype(INT)
+    y0 = jnp.floor(y).astype(INT)
+    fx = x - x0.astype(REAL)
+    fy = y - y0.astype(REAL)
+    x0m = jnp.mod(x0, w)
+    y0m = jnp.mod(y0, h)
+    x1m = jnp.mod(x0 + 1, w)
+    y1m = jnp.mod(y0 + 1, h)
+    p00 = soa.gather(pool.data, off + y0m * w + x0m)
+    p01 = soa.gather(pool.data, off + y1m * w + x0m)
+    p10 = soa.gather(pool.data, off + y0m * w + x1m)
+    p11 = soa.gather(pool.data, off + y1m * w + x1m)
+    return (
+        p00 * ((1 - fx) * (1 - fy))
+        + p10 * (fx * (1 - fy))
+        + p01 * ((1 - fx) * fy)
+        + p11 * (fx * fy)
+    )
+
+
+def searchsorted_rows(rows_flat, row_stride, y_idx, u, n_cols):
+    """Per-lane ``searchsorted(rows[y], u, 'right') - 1``: bisection over
+    cdf positions [0, n_cols] with clip-mode flat gathers.
+    rows_flat = rows.ravel() where rows is (h, n_cols + 1)."""
+    lo = jnp.zeros_like(y_idx)
+    hi = jnp.full_like(y_idx, n_cols)
+    base = y_idx * row_stride
+    steps = max(int(math.ceil(math.log2(n_cols + 1))), 1) + 1
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        val = soa.take(rows_flat, base + mid)
+        go_right = val <= u
+        return jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return jnp.clip(lo - 1, 0, n_cols - 1)
+
+
+class EnvmapSoA(NamedTuple):
+    """Per-trace view of the envmap tables. Constructed INSIDE the traced
+    function from SceneSoA arrays + SceneStatic ints, so tex_kind / width /
+    height stay Python ints (compile-time branch selectors)."""
+
+    to_world: jnp.ndarray   # (4, 4)
+    to_local: jnp.ndarray
+    scale: jnp.ndarray
+    tex_kind: int           # static: TEX_CONST or TEX_IMAGE
+    const_value: V3         # () components (unscaled)
+    img_id: jnp.ndarray
+    cdf_rows: jnp.ndarray
+    pdf_rows: jnp.ndarray
+    cdf_marginals: jnp.ndarray
+    pdf_marginals: jnp.ndarray
+    width: int
+    height: int
+
+
+def _xform_vec(m, v: V3) -> V3:
+    return V3(
+        m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,
+        m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z,
+        m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z,
+    )
+
+
+def envmap_uv_from_dir(env: EnvmapSoA, wdir: V3):
+    """World direction (scene -> env) to (u, v, sin_elevation)
+    (reference: src/lights/envmap.inl:44-56; y-up convention)."""
+    local = _xform_vec(env.to_local, wdir)
+    u = jnp.arctan2(local.x, -local.z) / (2.0 * jnp.pi)
+    u = jnp.where(u < 0, u + 1.0, u)
+    v = jnp.arccos(jnp.clip(local.y, -1.0, 1.0)) / jnp.pi
+    sin_e = jnp.sqrt(jnp.maximum(0.0, 1.0 - local.y * local.y))
+    return u, v, sin_e
+
+
+def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3) -> V3:
+    """Radiance arriving along dir_to_env (level-0 bilinear for image
+    envmaps; the per-ray oracle adds footprint-based mip filtering)."""
+    u, v, _ = envmap_uv_from_dir(env, dir_to_env)
+    if env.tex_kind == 1:  # TEX_IMAGE (static branch)
+        n = u.shape[0]
+        img_id = jnp.full(n, env.img_id, INT)
+        val = bilinear_level0(pool, img_id, u, v)
+    else:
+        ones = jnp.ones_like(u)
+        val = V3(ones * env.const_value.x, ones * env.const_value.y,
+                 ones * env.const_value.z)
+    return val * env.scale
+
+
+def envmap_sample_dir(env: EnvmapSoA, u0, u1):
+    """Importance-sample a direction toward the envmap; returns
+    (world_dir, pdf_solid_angle). Same semantics as the per-ray
+    sample_2d + dir_from_uv pipeline (reference: src/lights/envmap.inl:8-42
+    + src/table_dist.cpp:119-143). For constant envmaps the tables are the
+    dummy uniform 2x2 grid, so this reduces to uniform-uv sampling with
+    pdf_uv = 1."""
+    h, w = env.height, env.width
+    stride = w + 1
+    y = jnp.clip(
+        jnp.searchsorted(env.cdf_marginals, u1, side="right") - 1, 0, h - 1
+    ).astype(INT)
+    cm0 = soa.take(env.cdf_marginals, y)
+    cm1 = soa.take(env.cdf_marginals, y + 1)
+    dm = cm1 - cm0
+    dy = jnp.where(dm > 0, (u1 - cm0) / jnp.where(dm > 0, dm, 1.0), u1 - cm0)
+    rows_flat = env.cdf_rows.ravel()
+    x = searchsorted_rows(rows_flat, stride, y, u0, w).astype(INT)
+    c0 = soa.take(rows_flat, y * stride + x)
+    c1 = soa.take(rows_flat, y * stride + x + 1)
+    dc = c1 - c0
+    dx = jnp.where(dc > 0, (u0 - c0) / jnp.where(dc > 0, dc, 1.0), u0 - c0)
+    uu = (x.astype(REAL) + dx) / w
+    vv = (y.astype(REAL) + dy) / h
+    azimuth = uu * 2.0 * jnp.pi
+    elevation = vv * jnp.pi
+    local = V3(
+        jnp.sin(azimuth) * jnp.sin(elevation),
+        jnp.cos(elevation),
+        -jnp.cos(azimuth) * jnp.sin(elevation),
+    )
+    wdir = _xform_vec(env.to_world, local)
+    pdf_uv = (
+        soa.take(env.pdf_marginals, y)
+        * soa.take(env.pdf_rows.ravel(), y * w + x)
+        * w * h
+    )
+    sin_e = jnp.sin(elevation)
+    pdf = jnp.where(
+        sin_e > 0, pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0
+    )
+    return wdir, pdf
+
+
+def envmap_pdf_dir(env: EnvmapSoA, wdir: V3):
+    """Solid-angle density of envmap_sample_dir at wdir
+    (reference: src/lights/envmap.inl:58-73)."""
+    u, v, sin_e = envmap_uv_from_dir(env, wdir)
+    h, w = env.height, env.width
+    x = jnp.clip((u * w).astype(INT), 0, w - 1)
+    y = jnp.clip((v * h).astype(INT), 0, h - 1)
+    pdf_uv = (
+        soa.take(env.pdf_marginals, y)
+        * soa.take(env.pdf_rows.ravel(), y * w + x)
+        * w * h
+    )
+    return jnp.where(
+        sin_e > 0, pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0
+    )

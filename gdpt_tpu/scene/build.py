@@ -132,6 +132,8 @@ class SceneStatic:
     used_material_kinds: Tuple[int, ...]
     has_envmap: bool
     envmap_light_id: int
+    envmap_is_image: bool
+    spec_image_slots: tuple  # per (refl, spec_refl, spec_trans): any image tex
     filter_kind: int
     filter_param: float
     camera_medium_id: int
@@ -592,6 +594,11 @@ def build_scene(
         used_material_kinds=tuple(sorted({m.kind for m in materials})),
         has_envmap=envmap_light_id >= 0,
         envmap_light_id=envmap_light_id,
+        envmap_is_image=env_desc[0].get("kind") == tex.TEX_IMAGE,
+        spec_image_slots=tuple(
+            bool((np.asarray(getattr(mat_table, s).kind) == tex.TEX_IMAGE).any())
+            for s in ("refl", "spec_refl", "spec_trans")
+        ),
         filter_kind=camera.filter_kind,
         filter_param=camera.filter_param,
         camera_medium_id=camera.medium_id,

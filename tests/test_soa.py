@@ -230,3 +230,103 @@ def test_soa_disney_sphere_scene():
     b = R.render_samples(sc, path_aos.trace_path, spp=32, seed=4)
     assert np.isfinite(a).all() and (a >= 0).all()
     assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-3) < 0.15
+
+
+def _img_env_scene(env, mat=None, spp=64, res=24, max_depth=3):
+    from gdpt_tpu.core import transform as xf
+    from gdpt_tpu.scene import build
+    from gdpt_tpu.scene import model as M
+
+    shapes = [
+        M.Sphere(center=np.zeros(3), radius=1.0, material_id=0),
+        M.TriangleMesh(
+            positions=np.array(
+                [[-6, -1, -6], [6, -1, -6], [6, -1, 6], [-6, -1, 6]], np.float32
+            ),
+            indices=np.array([[0, 1, 2], [0, 2, 3]], np.int32), material_id=0,
+        ),
+    ]
+    lights = [M.Envmap(texture=M.ImageTexture(env), scale=1.0, to_world=np.eye(4))]
+    cam = M.Camera(xf.look_at([0, 1.5, -5], [0, 0, 0], [0, 1, 0]), 45.0, res, res)
+    opts = M.RenderOptions(integrator="path", samples_per_pixel=spp, max_depth=max_depth)
+    from gdpt_tpu.scene import model as MM
+    m = mat if mat is not None else MM.Lambertian(0.5)
+    return build.build_scene(cam, [m], shapes, lights, options=opts)
+
+
+def test_soa_envmap_sampler_matches_per_ray():
+    """envmap_sample_dir / envmap_pdf_dir / envmap_emission_soa are
+    bit-compatible with the per-ray sample_2d / pdf_2d / envmap_emission
+    pipeline (level-0 lookups)."""
+    from gdpt_tpu.core.distributions import pdf_2d, sample_2d
+    from gdpt_tpu.ops import lights as L
+    from gdpt_tpu.ops import textures_soa as tsoa
+
+    env = np.full((32, 64, 3), 0.05, np.float32)
+    env[8:12, 30:36] = np.array([12.0, 10.0, 6.0])
+    sc = _img_env_scene(env)
+    scsoa = path_soa.scene_soa_from_aos(sc)
+    envv = path_soa._env_view(sc.static, scsoa)
+    dev = sc.device
+    rng = np.random.RandomState(1)
+    n = 2048
+    u0 = jnp.asarray(rng.rand(n), jnp.float32)
+    u1 = jnp.asarray(rng.rand(n), jnp.float32)
+    uv = jnp.stack([u0, u1], -1)
+    env_uv = jax.vmap(lambda q: sample_2d(dev.envmap.dist, q))(uv)
+    wdir_ref = jax.vmap(lambda q: L._envmap_dir_from_uv(dev, q))(env_uv)
+    wdir_s, pdf_s = tsoa.envmap_sample_dir(envv, u0, u1)
+    ws = np.stack([np.asarray(wdir_s.x), np.asarray(wdir_s.y), np.asarray(wdir_s.z)], -1)
+    np.testing.assert_allclose(ws, np.asarray(wdir_ref), atol=1e-6)
+    pdf_ref = jax.vmap(lambda d: L.pdf_point_on_light(
+        dev, sc.static, jnp.asarray(0), jnp.zeros(3), -d, jnp.zeros(3)
+    ))(jnp.asarray(ws))
+    np.testing.assert_allclose(np.asarray(pdf_s), np.asarray(pdf_ref), rtol=2e-4)
+    emit_ref = jax.vmap(lambda d: L.envmap_emission(dev, d, jnp.asarray(0.0)))(
+        jnp.asarray(ws)
+    )
+    emit_s = tsoa.envmap_emission_soa(envv, scsoa.mat_tables.pool3, wdir_s)
+    es = np.stack([np.asarray(emit_s.x), np.asarray(emit_s.y), np.asarray(emit_s.z)], -1)
+    np.testing.assert_allclose(es, np.asarray(emit_ref), atol=1e-5)
+
+
+def test_soa_image_envmap_matches_aos():
+    """Full SoA render with an image envmap vs the per-ray oracle with
+    footprint filtering disabled (the SoA path has no ray differentials,
+    so it reads the envmap at level 0 everywhere; the per-ray path blurs
+    BSDF-escape lookups through the mip pyramid, which is inconsistent
+    with the sharp pdf table and not comparable)."""
+    import jax.numpy as jnp2
+    from gdpt_tpu.ops import lights as L
+
+    env = np.zeros((32, 64, 3), np.float32)
+    env[:] = 0.05
+    env[2:4, :] = 5.0
+    sc = _img_env_scene(env, spp=128, max_depth=3)
+    assert sc.static.envmap_is_image
+    assert path_soa.supports_soa(sc)
+    orig = L.envmap_emission
+    L.envmap_emission = lambda scene, d, spread: orig(scene, d, jnp2.asarray(0.0))
+    try:
+        a = path_soa.render_soa(sc, seed=3)
+        b = R.render_samples(sc, path_aos.trace_path, spp=128, seed=4)
+    finally:
+        L.envmap_emission = orig
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
+
+
+def test_soa_image_texture_matches_aos():
+    """Image-textured Lambertian through the SoA fast path vs per-ray."""
+    from gdpt_tpu.scene import model as M
+
+    rng = np.random.RandomState(0)
+    texd = (0.2 + 0.6 * rng.rand(16, 16, 3)).astype(np.float32)
+    env = np.full((8, 16, 3), 0.6, np.float32)
+    sc = _img_env_scene(env, mat=M.Lambertian(M.ImageTexture(texd)), spp=64)
+    assert sc.static.spec_image_slots[0]
+    assert path_soa.supports_soa(sc)
+    a = path_soa.render_soa(sc, seed=3)
+    b = R.render_samples(sc, path_aos.trace_path, spp=64, seed=4)
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())

@@ -1,0 +1,55 @@
+"""Render the judge-facing gallery on the real TPU chip.
+
+Usage: python tools/render_gallery.py [scene ...]
+Scenes default to the full set. Writes EXR + PNG pairs into gallery/.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+
+SCENES = {
+    "cbox": ("/root/reference/scenes/cbox/cbox_old.xml", 512, 256),
+    "veach_mi": ("/root/reference/scenes/veach_mi/mi.xml", 512, 256),
+    "disney_array": (
+        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 512, 256
+    ),
+    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 512, 256),
+}
+
+
+def main():
+    import numpy as np
+
+    from gdpt_tpu.core import image
+    from gdpt_tpu.integrators import path_soa, render as R
+    from gdpt_tpu.scene import parser
+
+    names = sys.argv[1:] or list(SCENES)
+    os.makedirs("gallery", exist_ok=True)
+    for name in names:
+        path, res, spp = SCENES[name]
+        if not os.path.exists(path):
+            print(f"[gallery] {name}: scene missing, skipped")
+            continue
+        sc, _ = parser.parse_scene(path, width=res, height=res, spp=spp)
+        t0 = time.perf_counter()
+        if path_soa.supports_soa(sc):
+            img = path_soa.render_soa(sc, spp=spp, seed=0)
+            mode = "soa"
+        else:
+            img = R.render(sc, seed=0)
+            mode = "per-ray"
+        dt = time.perf_counter() - t0
+        image.imwrite(f"gallery/{name}.exr", img)
+        image.imwrite(f"gallery/{name}.png", img)
+        print(
+            f"[gallery] {name}: {mode} {res}x{res}@{spp}spp in {dt:.1f}s "
+            f"mean={float(np.mean(img)):.4f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
