@@ -229,7 +229,15 @@ def uniform2(seed, stream, counter):
     if os.environ.get("GDPT_RNG", _RNG_IMPL) == "threefry":
         r0, r1 = threefry2x32(s, stream.astype(jnp.uint32), c, jnp.zeros_like(c))
     else:
-        r0, r1 = pcg3d(stream.astype(jnp.uint32), c, s)
+        # Premix the stream id (murmur3 finalizer): raw pcg3d leaves
+        # adjacent streams at the same counter measurably correlated, which
+        # inflates gradient-domain variance (neighbor pixels share the
+        # one-sided difference estimates).
+        t = stream.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        t = t ^ (t >> 16)
+        t = t * jnp.uint32(0x85EBCA6B)
+        t = t ^ (t >> 13)
+        r0, r1 = pcg3d(t, c, s)
     scale = jnp.asarray(1.0 / 4294967808.0, REAL)  # keeps values < 1 in f32
     return r0.astype(REAL) * scale, r1.astype(REAL) * scale
 

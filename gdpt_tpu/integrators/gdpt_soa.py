@@ -1,0 +1,419 @@
+"""Batched (SoA) gradient-domain path tracing — performance twin of
+integrators/gdpt.py.
+
+Same shift-mapping spec as the per-ray implementation (which stays the
+correctness oracle; tests cross-validate): base path + 4 offset paths
+traced in lockstep sharing one counter-based random stream per lane,
+diffuse-diffuse reconnection with the geometry-ratio Jacobian, random
+-number-reuse replay with the pdf-ratio Jacobian, one-sided-difference
+MIS weights, NEE+MIS primal alongside
+(reference: small_gdpt.cpp:153-352, src/path_tracing.h:354-1050,
+src/render.cpp:257-370).
+
+The 4 offsets are a statically unrolled Python loop, so every op stays
+an (N,) component-array op on full VPU lanes. Cost per bounce is
+~5x a plain path bounce (1 base scatter + NEE shadow + 4x offset
+probe/replay rays), exactly like the reference's 5-path estimator.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gdpt_tpu.accel import traverse_soa as trs
+from gdpt_tpu.core import soa
+from gdpt_tpu.core.dtypes import BIG, INT, REAL
+from gdpt_tpu.core.soa import V3
+from gdpt_tpu.ops import materials_soa as msoa
+from gdpt_tpu.ops import poisson
+from gdpt_tpu.integrators import path_soa as ps
+from gdpt_tpu.scene import model as M
+from gdpt_tpu.scene.build import Scene
+
+GDPT_MAX_DEPTH = 32  # reference: small_gdpt.cpp:15
+
+# Offset order: x-1, x+1, y-1, y+1 (image space, y down).
+_OFFSETS = ((-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0))
+
+
+class GdptSampleSoA(NamedTuple):
+    primal: V3      # NEE+MIS estimate (the Poisson data term)
+    primal_bf: V3   # BF emitter-hit estimate (noise-matched to gradients)
+    gx_here: V3     # estimate of u[x] - u[x-1] stored at x
+    gx_next: V3     # estimate of u[x+1] - u[x] stored at x
+    gy_here: V3
+    gy_next: V3
+
+
+def supports_soa_gdpt(scene: Scene) -> bool:
+    """Same material/texture envelope as the path fast path."""
+    return msoa.supports_soa_materials(scene)
+
+
+def _is_lambertian(sc, static, material_id):
+    if M.MAT_LAMBERTIAN not in static.used_material_kinds:
+        return jnp.zeros_like(material_id, bool)
+    mid = jnp.maximum(material_id, 0)
+    return (material_id >= 0) & (soa.take(sc.mat_tables.kind, mid)
+                                 == M.MAT_LAMBERTIAN)
+
+
+def _geom_term(p0: V3, n0: V3, p1: V3, n1: V3):
+    """|cos0 cos1| / dist^2 (reference: small_gdpt.cpp:255-267)."""
+    d = p1 - p0
+    d2 = jnp.maximum(soa.length_squared(d), 1e-20)
+    dn = d * (1.0 / jnp.sqrt(d2))
+    return jnp.abs(soa.dot(dn, n1)) * jnp.abs(soa.dot(dn, n0)) / d2
+
+
+def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
+                   sample0) -> GdptSampleSoA:
+    used = static.used_material_kinds
+    md = static.options.max_depth
+    n_iters = GDPT_MAX_DEPTH if md < 0 else min(md, GDPT_MAX_DEPTH)
+    n = xs.shape[0]
+    zero = jnp.zeros(n, REAL)
+    zero3 = V3(zero, zero, zero)
+    one = jnp.ones(n, REAL)
+    one3 = V3(one, one, one)
+    eps_isect = static.intersection_epsilon
+
+    def uni2(bounce, ctr):
+        counter = (
+            jnp.asarray(sample0, jnp.uint32) * jnp.uint32(131071)
+            + jnp.asarray(bounce * ps._CTR_STRIDE + ctr, jnp.uint32)
+        )
+        return soa.uniform2(seed, ray_idx, counter)
+
+    u0, u1 = uni2(0, ps._CTR_PIXEL)
+
+    def primary(px, py):
+        org, d = ps.primary_rays_soa(static, camera, px, py, u0, u1)
+        hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, 0.0, BIG)
+        v = ps.shade_hit(static, sc, org, d, hit, gn_raw)
+        return v, d, hit.prim_id
+
+    base_v, base_d, base_prim = primary(xs, ys)
+    offs = []
+    for dx, dy in _OFFSETS:
+        ov, od, oprim = primary(xs + dx, ys + dy)
+        # Offset validity: hit + same material as base primary hit
+        # (reference: src/path_tracing.h:424-443).
+        ovalid = (ov.valid > 0) & (ov.material_id == base_v.material_id)
+        offs.append(dict(
+            valid=ovalid.astype(REAL), merged=zero, v=ov, d=od, prim=oprim,
+            contrib=one3, prob=one, jacob=one,
+        ))
+
+    base_ok = base_v.valid > 0
+    radiance0 = soa.where(base_ok, ps.emission(sc, base_v, -1.0 * base_d), zero3)
+
+    state = dict(
+        radiance=radiance0,
+        base_v=base_v,
+        base_d=base_d,
+        base_prim=base_prim,
+        contrib=one3,
+        prob=one,
+        offs=tuple(offs),
+        active=base_v.valid,
+        done_light=zero,
+        bounce=jnp.asarray(0, INT),
+        rays=jnp.full((), 5.0 * n, REAL),
+    )
+
+    def cond(s):
+        return (jnp.max(s["active"]) > 0) & (s["bounce"] <= n_iters)
+
+    def body(s):
+        base_v = s["base_v"]
+        b = s["bounce"] + 1
+        active = s["active"] > 0
+
+        # --- terminal check: base path reached an emitter ---
+        base_is_light = base_v.light_id >= 0
+        hit_light = active & base_is_light
+        emitted = ps.emission(sc, base_v, -1.0 * s["base_d"])
+        contrib = soa.where(hit_light, s["contrib"] * emitted, s["contrib"])
+
+        new_offs = []
+        done_light = jnp.maximum(s["done_light"], hit_light.astype(REAL))
+
+        # --- extension (only when not terminal) ---
+        extend = active & ~base_is_light
+        dir_view = -1.0 * s["base_d"]
+        params = msoa.gather_params_soa(
+            sc.mat_tables, used, base_v.material_id, base_v.uv_u, base_v.uv_v,
+            static.spec_image_slots,
+        )
+        throughput = s["contrib"] * (1.0 / jnp.maximum(s["prob"], 1e-30))
+
+        # Primal NEE alongside (reference: src/path_tracing.h:115-227).
+        radiance = s["radiance"]
+        rays = s["rays"]
+        if static.n_lights > 0:
+            lu0, lu1 = uni2(b, ps._CTR_LIGHT_UV)
+            lw, lsw = uni2(b, ps._CTR_LIGHT_W)
+            nee = ps.nee_soa(static, sc, base_v, params, dir_view, used,
+                             lu0, lu1, lw, lsw, extend)
+            radiance = radiance + throughput * nee
+            rays = rays + jnp.sum(jnp.where(extend, 1.0, 0.0))
+
+        bu0, bu1 = uni2(b, ps._CTR_BSDF_UV)
+        w_lobe, _ = uni2(b, ps._CTR_BSDF_W)
+        samp = msoa.sample_bsdf_soa(params, dir_view, base_v.gn, base_v.frame,
+                                    bu0, bu1, w_lobe, used)
+        f_base = msoa.eval_bsdf_soa(params, dir_view, samp.dir_out,
+                                    base_v.gn, base_v.frame, used)
+        pdf_base = msoa.pdf_bsdf_soa(params, dir_view, samp.dir_out,
+                                     base_v.gn, base_v.frame, used)
+        nxt_hit, nxt_gn = trs.intersect_soa_gn(
+            static, sc.geom, base_v.position, samp.dir_out, eps_isect, BIG
+        )
+        nxt = ps.shade_hit(static, sc, base_v.position, samp.dir_out,
+                           nxt_hit, nxt_gn)
+        nxt_ok = nxt.valid > 0
+        ok_base = (samp.valid > 0) & (pdf_base > 0) & nxt_ok
+        base_diffuse = _is_lambertian(sc, static, base_v.material_id)
+        rays = rays + jnp.sum(jnp.where(extend, 1.0, 0.0))
+
+        # Primal MIS-weighted emitter hit
+        # (reference: src/path_tracing.h:291-325).
+        if static.n_lights > 0:
+            dist2 = soa.length_squared(nxt.position - base_v.position)
+            g2 = jnp.abs(soa.dot(samp.dir_out, nxt.gn)) / jnp.maximum(dist2, 1e-20)
+            p2a = pdf_base * g2
+            nxt_is_light = nxt_ok & (nxt.light_id >= 0)
+            l_emit = ps.emission(sc, nxt, -1.0 * samp.dir_out)
+            p1h = ps.hit_light_pdf_soa(static, sc, base_v.position, nxt,
+                                       samp.dir_out, dist2)
+            w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
+            c2 = f_base * l_emit * (g2 * w2 / jnp.maximum(p2a, 1e-30))
+            radiance = radiance + soa.where(
+                extend & ok_base & nxt_is_light, throughput * c2, zero3
+            )
+
+        for off in s["offs"]:
+            ov = off["v"]
+            ovalid = off["valid"] > 0
+            merged = off["merged"] > 0
+            oc, op, oj = off["contrib"], off["prob"], off["jacob"]
+
+            # Terminal handling (reference: small_gdpt.cpp:282-284).
+            o_emit = ps.emission(sc, ov, -1.0 * off["d"])
+            o_is_light = ov.light_id >= 0
+            term_c = soa.where(
+                merged, oc * emitted, soa.where(o_is_light, oc * o_emit, oc)
+            )
+            term_valid = ovalid & (merged | o_is_light)
+            valid_l = jnp.where(hit_light, term_valid, ovalid)
+            oc = soa.where(hit_light, term_c, oc)
+
+            # Merged: follow base factors (reference: src/path_tracing.h:774-778).
+            mc = oc * f_base
+            mp = op * pdf_base
+
+            o_params = msoa.gather_params_soa(
+                sc.mat_tables, used, ov.material_id, ov.uv_u, ov.uv_v,
+                static.spec_image_slots,
+            )
+            o_view = -1.0 * off["d"]
+            o_diffuse = _is_lambertian(sc, static, ov.material_id)
+            can_reconnect = base_diffuse & o_diffuse & nxt_ok
+
+            # Reconnection to the base's next vertex
+            # (reference: small_gdpt.cpp:248-269).
+            to_next = nxt.position - ov.position
+            dist = jnp.maximum(soa.length(to_next), 1e-20)
+            dir_rec = to_next * (1.0 / dist)
+            probe_hit, _ = trs.intersect_soa_gn(
+                static, sc.geom, ov.position, dir_rec, eps_isect, BIG
+            )
+            probe_ok = (probe_hit.prim_id >= 0) & (
+                probe_hit.prim_id == jnp.maximum(nxt_hit.prim_id, 0)
+            ) & nxt_ok
+            f_rec = msoa.eval_bsdf_soa(o_params, o_view, dir_rec, ov.gn,
+                                       ov.frame, used)
+            pdf_rec = msoa.pdf_bsdf_soa(o_params, o_view, dir_rec, ov.gn,
+                                        ov.frame, used)
+            g_base = _geom_term(base_v.position, base_v.gn, nxt.position, nxt.gn)
+            g_shift = _geom_term(ov.position, ov.gn, nxt.position, nxt.gn)
+            rec_valid = probe_ok & (pdf_rec > 0)
+            rec_c = oc * f_rec
+            rec_p = op * pdf_rec
+            rec_j = oj * g_shift / jnp.maximum(g_base, 1e-20)
+
+            # Replay with the base's random numbers
+            # (reference: small_gdpt.cpp:272-279).
+            o_samp = msoa.sample_bsdf_soa(o_params, o_view, ov.gn, ov.frame,
+                                          bu0, bu1, w_lobe, used)
+            f_rep = msoa.eval_bsdf_soa(o_params, o_view, o_samp.dir_out,
+                                       ov.gn, ov.frame, used)
+            pdf_rep = msoa.pdf_bsdf_soa(o_params, o_view, o_samp.dir_out,
+                                        ov.gn, ov.frame, used)
+            o_nxt_hit, o_nxt_gn = trs.intersect_soa_gn(
+                static, sc.geom, ov.position, o_samp.dir_out, eps_isect, BIG
+            )
+            o_nxt = ps.shade_hit(static, sc, ov.position, o_samp.dir_out,
+                                 o_nxt_hit, o_nxt_gn)
+            rep_valid = (
+                (o_samp.valid > 0) & (pdf_rep > 0) & (o_nxt.valid > 0)
+                & (o_nxt.material_id == nxt.material_id)
+            )
+            rep_c = oc * f_rep
+            rep_p = op * pdf_rep
+            rep_j = oj * pdf_base / jnp.maximum(pdf_rep, 1e-20)
+
+            do_rec = can_reconnect & ~merged
+            new_merged = merged | do_rec
+            new_valid = valid_l & jnp.where(
+                merged, True, jnp.where(do_rec, rec_valid, rep_valid)
+            )
+            pick = lambda m, a, b_: jnp.where(m, a, b_)
+            pick3 = lambda m, a, b_: soa.where(m, a, b_)
+            new_c = pick3(merged, mc, pick3(do_rec, rec_c, rep_c))
+            new_p = pick(merged, mp, pick(do_rec, rec_p, rep_p))
+            new_j = pick(merged, oj, pick(do_rec, rec_j, rep_j))
+            new_v = jax.tree_util.tree_map(
+                lambda a, b_: jnp.where(new_merged, a, b_), nxt, o_nxt
+            )
+            new_prim = jnp.where(new_merged, nxt_hit.prim_id, o_nxt_hit.prim_id)
+            new_d = soa.where(new_merged, samp.dir_out, o_samp.dir_out)
+
+            upd = extend & ovalid
+            sel = lambda nw, old: jnp.where(upd, nw, old)
+            sel3 = lambda nw, old: soa.where(upd, nw, old)
+            new_offs.append(dict(
+                valid=jnp.where(upd, new_valid, valid_l).astype(REAL),
+                merged=jnp.where(upd, new_merged, merged).astype(REAL),
+                v=jax.tree_util.tree_map(
+                    lambda nw, old: jnp.where(upd, nw, old), new_v, ov
+                ),
+                d=sel3(new_d, off["d"]),
+                prim=sel(new_prim, off["prim"]),
+                contrib=sel3(new_c, oc),
+                prob=sel(new_p, op),
+                jacob=sel(new_j, oj),
+            ))
+            rays = rays + 2.0 * jnp.sum(jnp.where(upd, 1.0, 0.0))
+
+        ext_ok = extend & ok_base
+        new_contrib = soa.where(ext_ok, contrib * f_base, contrib)
+        new_prob = jnp.where(ext_ok, s["prob"] * pdf_base, s["prob"])
+        new_base_v = jax.tree_util.tree_map(
+            lambda nw, old: jnp.where(ext_ok, nw, old), nxt, base_v
+        )
+
+        return dict(
+            radiance=radiance,
+            base_v=new_base_v,
+            base_d=soa.where(ext_ok, samp.dir_out, s["base_d"]),
+            base_prim=jnp.where(ext_ok, nxt_hit.prim_id, s["base_prim"]),
+            contrib=new_contrib,
+            prob=new_prob,
+            offs=tuple(new_offs),
+            active=ext_ok.astype(REAL),
+            done_light=done_light,
+            bounce=s["bounce"] + 1,
+            rays=rays,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    ok = (out["done_light"] > 0) & (out["prob"] > 0)
+    prob = jnp.maximum(out["prob"], 1e-30)
+    primal = out["radiance"]
+    primal_bf = soa.where(ok, out["contrib"] * (1.0 / prob), zero3)
+
+    # Per-offset one-sided-difference MIS
+    # (reference: src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507).
+    diffs = []
+    for i, sign in ((0, -1.0), (1, 1.0), (2, -1.0), (3, 1.0)):
+        off = out["offs"][i]
+        ovalid = off["valid"] > 0
+        off_c = soa.where(ovalid, off["contrib"] * off["jacob"], zero3)
+        p_shift = off["prob"] * off["jacob"]
+        w_off = jnp.where(
+            ovalid, out["prob"] / jnp.maximum(out["prob"] + p_shift, 1e-30), 1.0
+        )
+        d = (off_c - out["contrib"]) * sign
+        diffs.append(soa.where(ok, d * (w_off / prob), zero3))
+
+    return GdptSampleSoA(primal, primal_bf, *diffs), out["rays"]
+
+
+@partial(jax.jit, static_argnames=("static", "n_samples"))
+def _gdpt_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
+    n = xs.shape[0]
+    zero3 = V3(*(jnp.zeros(n, REAL),) * 3)
+
+    def one(i, carry):
+        acc, rays = carry
+        out, nr = trace_gdpt_soa(
+            static, camera, sc, xs, ys, ray_idx, seed,
+            sample0 + i.astype(jnp.uint32),
+        )
+        return (
+            jax.tree_util.tree_map(lambda a, o: a + o, acc, out),
+            rays + nr,
+        )
+
+    zero = GdptSampleSoA(*(zero3 for _ in range(6)))
+    return jax.lax.fori_loop(0, n_samples, one, (zero, jnp.asarray(0.0, REAL)))
+
+
+def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
+                        return_stats=False):
+    """SoA GDPT driver: accumulate primal + 4 gradient buffers, then
+    screened-Poisson reconstruct (reference: src/render.cpp:257-370)."""
+    static = scene.static
+    w, h = static.width, static.height
+    spp = spp if spp is not None else static.options.samples_per_pixel
+    n = w * h
+    sc = ps.scene_soa_from_aos(scene)
+    ys, xs = np.mgrid[0:h, 0:w]
+    xs_d = jnp.asarray(xs.ravel(), REAL)
+    ys_d = jnp.asarray(ys.ravel(), REAL)
+    ray_idx = jnp.arange(n, dtype=jnp.uint32)
+
+    # ~5x the rays of a plain path sample per GDPT sample.
+    batch = max(1, (1 << 23) // n)
+    acc = np.zeros((6, 3, n), np.float64)
+    total_rays = 0.0
+    done = 0
+    while done < spp:
+        k = min(batch, spp - done)
+        out, nrays = _gdpt_pass(
+            static, scene.device.camera, sc, xs_d, ys_d, ray_idx,
+            jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
+        )
+        for i, buf in enumerate(out):
+            acc[i, 0] += np.asarray(buf.x, np.float64)
+            acc[i, 1] += np.asarray(buf.y, np.float64)
+            acc[i, 2] += np.asarray(buf.z, np.float64)
+        total_rays += float(nrays)
+        done += k
+
+    def img(i):
+        return (acc[i] / spp).T.reshape(h, w, 3).astype(np.float32)
+
+    primal, primal_bf, gxh, gxn, gyh, gyn = (img(i) for i in range(6))
+    gx, gy = poisson.assemble_gradients(
+        jnp.asarray(gxh), jnp.asarray(gxn), jnp.asarray(gyh), jnp.asarray(gyn)
+    )
+    recon = poisson.screened_poisson_solve(
+        jnp.asarray(primal), gx, gy, static.options.gdpt_alpha
+    )
+    recon = np.where(np.isfinite(recon), np.asarray(recon), 0.0).astype(np.float32)
+    aux = dict(primal=primal, primal_bf=primal_bf,
+               gx=np.asarray(gx), gy=np.asarray(gy))
+    if return_aux and return_stats:
+        return recon, aux, total_rays
+    if return_aux:
+        return recon, aux
+    if return_stats:
+        return recon, total_rays
+    return recon

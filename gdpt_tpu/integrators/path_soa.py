@@ -47,13 +47,18 @@ _CTR_STRIDE = 16
 
 class SceneSoA(NamedTuple):
     geom: trs.GeomSoA
-    vtx_pos: V3
-    vtx_normal: V3
-    vtx_uv_u: jnp.ndarray
-    vtx_uv_v: jnp.ndarray
-    tri_i0: jnp.ndarray
-    tri_i1: jnp.ndarray
-    tri_i2: jnp.ndarray
+    # Per-triangle flattened vertex attributes: one gather level instead of
+    # tri_index -> vtx chains (XLA demotes chained small-table gathers in
+    # while loops to ~100ms host-read fusions on TPU).
+    tri_n0: V3
+    tri_n1: V3
+    tri_n2: V3
+    tri_uv0_u: jnp.ndarray
+    tri_uv0_v: jnp.ndarray
+    tri_uv1_u: jnp.ndarray
+    tri_uv1_v: jnp.ndarray
+    tri_uv2_u: jnp.ndarray
+    tri_uv2_v: jnp.ndarray
     tri_shape_id: jnp.ndarray
     tri_has_normals: jnp.ndarray
     tri_has_uvs: jnp.ndarray
@@ -63,6 +68,8 @@ class SceneSoA(NamedTuple):
     shape_light_id: jnp.ndarray
     shape_area: jnp.ndarray
     shape_prim_offset: jnp.ndarray
+    shape_interior_medium: jnp.ndarray
+    shape_exterior_medium: jnp.ndarray
     # materials: constant reflectance per material (checker via 2 colors)
     mat_tables: msoa.MaterialTablesSoA
     # lights
@@ -99,15 +106,23 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
     env_rgb = dev.envmap.tex.value[0]
+    idx = np.asarray(dev.tri_index)
+    vn = np.asarray(dev.vtx_normal)
+    vuv = np.asarray(dev.vtx_uv)
+    if idx.shape[0]:
+        n0, n1, n2 = vn[idx[:, 0]], vn[idx[:, 1]], vn[idx[:, 2]]
+        uv0, uv1, uv2 = vuv[idx[:, 0]], vuv[idx[:, 1]], vuv[idx[:, 2]]
+    else:
+        n0 = n1 = n2 = np.zeros((0, 3), np.float32)
+        uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
     return SceneSoA(
         geom=trs.geom_soa_from_aos(dev.geom),
-        vtx_pos=soa.from_rows(dev.vtx_pos),
-        vtx_normal=soa.from_rows(dev.vtx_normal),
-        vtx_uv_u=dev.vtx_uv[:, 0],
-        vtx_uv_v=dev.vtx_uv[:, 1],
-        tri_i0=dev.tri_index[:, 0],
-        tri_i1=dev.tri_index[:, 1],
-        tri_i2=dev.tri_index[:, 2],
+        tri_n0=soa.from_rows(jnp.asarray(n0)),
+        tri_n1=soa.from_rows(jnp.asarray(n1)),
+        tri_n2=soa.from_rows(jnp.asarray(n2)),
+        tri_uv0_u=jnp.asarray(uv0[:, 0]), tri_uv0_v=jnp.asarray(uv0[:, 1]),
+        tri_uv1_u=jnp.asarray(uv1[:, 0]), tri_uv1_v=jnp.asarray(uv1[:, 1]),
+        tri_uv2_u=jnp.asarray(uv2[:, 0]), tri_uv2_v=jnp.asarray(uv2[:, 1]),
         tri_shape_id=dev.geom.tri_shape_id,
         tri_has_normals=dev.tri_has_normals,
         tri_has_uvs=dev.tri_has_uvs,
@@ -117,6 +132,8 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         shape_light_id=dev.shape_light_id,
         shape_area=dev.shape_area,
         shape_prim_offset=dev.shape_prim_offset,
+        shape_interior_medium=dev.shape_interior_medium,
+        shape_exterior_medium=dev.shape_exterior_medium,
         mat_tables=msoa.build_material_tables(dev),
         light_kind=dev.lights.kind,
         light_shape_id=dev.lights.shape_id,
@@ -188,17 +205,14 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
             e2 = soa.gather(sc.geom.tri_e2, tid)
             gn_tri = soa.normalize(soa.cross(e1, e2))
         if static.any_mesh_normals:
-            i0 = soa.take(sc.tri_i0, tid)
-            i1 = soa.take(sc.tri_i1, tid)
-            i2 = soa.take(sc.tri_i2, tid)
             has_n = soa.take(sc.tri_has_normals, tid)
             b1 = hit.u
             b2 = hit.v
             b0 = 1.0 - b1 - b2
             n_interp = soa.normalize(
-                soa.gather(sc.vtx_normal, i0) * b0
-                + soa.gather(sc.vtx_normal, i1) * b1
-                + soa.gather(sc.vtx_normal, i2) * b2
+                soa.gather(sc.tri_n0, tid) * b0
+                + soa.gather(sc.tri_n1, tid) * b1
+                + soa.gather(sc.tri_n2, tid) * b2
             )
             sn_tri = soa.where(has_n, n_interp, gn_tri)
         else:
@@ -207,20 +221,17 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         sn = sn_tri
         shape_id = soa.take(sc.tri_shape_id, tid)
         if static.any_mesh_uvs:
-            i0u = soa.take(sc.tri_i0, tid)
-            i1u = soa.take(sc.tri_i1, tid)
-            i2u = soa.take(sc.tri_i2, tid)
             has_uv = soa.take(sc.tri_has_uvs, tid)
             b0u = 1.0 - hit.u - hit.v
             iu = (
-                soa.take(sc.vtx_uv_u, i0u) * b0u
-                + soa.take(sc.vtx_uv_u, i1u) * hit.u
-                + soa.take(sc.vtx_uv_u, i2u) * hit.v
+                soa.take(sc.tri_uv0_u, tid) * b0u
+                + soa.take(sc.tri_uv1_u, tid) * hit.u
+                + soa.take(sc.tri_uv2_u, tid) * hit.v
             )
             iv = (
-                soa.take(sc.vtx_uv_v, i0u) * b0u
-                + soa.take(sc.vtx_uv_v, i1u) * hit.u
-                + soa.take(sc.vtx_uv_v, i2u) * hit.v
+                soa.take(sc.tri_uv0_v, tid) * b0u
+                + soa.take(sc.tri_uv1_v, tid) * hit.u
+                + soa.take(sc.tri_uv2_v, tid) * hit.v
             )
             uv_u = jnp.where(has_uv, iu, uv_u)
             uv_v = jnp.where(has_uv, iv, uv_v)
@@ -295,21 +306,18 @@ def sample_light_point(static, sc: SceneSoA, ref: V3, u0, u1, uw, us):
             soa.take(sc.light_tri_first, light_id) + local_tri.astype(INT),
             0, max(static.n_tris - 1, 0),
         )
-        i0 = sc.tri_i0[tri]
-        v0 = soa.gather(sc.vtx_pos, i0)
+        v0 = soa.gather(sc.geom.tri_v0, tri)
         e1 = soa.gather(sc.geom.tri_e1, tri)
         e2 = soa.gather(sc.geom.tri_e2, tri)
         a = jnp.sqrt(jnp.clip(u0, 0.0, 1.0))
         b1 = 1.0 - a
         b2 = a * u1
         gn = soa.normalize(soa.cross(e1, e2))
-        has_n = sc.tri_has_normals[tri]
-        i1 = sc.tri_i1[tri]
-        i2 = sc.tri_i2[tri]
+        has_n = soa.take(sc.tri_has_normals, tri)
         sn = soa.normalize(
-            soa.gather(sc.vtx_normal, i0) * (1 - b1 - b2)
-            + soa.gather(sc.vtx_normal, i1) * b1
-            + soa.gather(sc.vtx_normal, i2) * b2
+            soa.gather(sc.tri_n0, tri) * (1 - b1 - b2)
+            + soa.gather(sc.tri_n1, tri) * b1
+            + soa.gather(sc.tri_n2, tri) * b2
         )
         gn = soa.where(has_n & (soa.dot(gn, sn) < 0), -gn, gn)
         p_mesh = v0 + e1 * b1 + e2 * b2
@@ -375,6 +383,118 @@ def envmap_pdf_for_dir(static, sc: SceneSoA, d: V3):
     return tsoa.envmap_pdf_dir(_env_view(static, sc), d)
 
 
+def primary_rays_soa(static, camera, xs, ys, u0, u1):
+    """Batched camera rays with filter importance sampling
+    (reference: src/camera.cpp:23-47)."""
+    from gdpt_tpu.scene import filters as gfilters
+
+    w, h = static.width, static.height
+    n = xs.shape[0]
+    pix = jnp.stack([xs + u0, ys + u1], axis=-1) / jnp.asarray([w, h], REAL)
+    pixel = pix * jnp.asarray([w, h], REAL)
+    frac = pixel - jnp.floor(pixel)
+    offset = gfilters.sample_filter(static.filter_kind, static.filter_param, frac)
+    remapped = (jnp.floor(pixel) + 0.5 + offset) / jnp.asarray([w, h], REAL)
+    m = camera.sample_to_cam
+    px, py = remapped[:, 0], remapped[:, 1]
+    ptx = m[0, 0] * px + m[0, 1] * py + m[0, 3]
+    pty = m[1, 0] * px + m[1, 1] * py + m[1, 3]
+    ptz = m[2, 0] * px + m[2, 1] * py + m[2, 3]
+    ptw = m[3, 0] * px + m[3, 1] * py + m[3, 3]
+    pt = V3(ptx / ptw, pty / ptw, ptz / ptw)
+    c2w = camera.cam_to_world
+    d_cam = soa.normalize(pt)
+    d = soa.normalize(
+        V3(
+            c2w[0, 0] * d_cam.x + c2w[0, 1] * d_cam.y + c2w[0, 2] * d_cam.z,
+            c2w[1, 0] * d_cam.x + c2w[1, 1] * d_cam.y + c2w[1, 2] * d_cam.z,
+            c2w[2, 0] * d_cam.x + c2w[2, 1] * d_cam.y + c2w[2, 2] * d_cam.z,
+        )
+    )
+    org = V3(
+        jnp.broadcast_to(c2w[0, 3], (n,)),
+        jnp.broadcast_to(c2w[1, 3], (n,)),
+        jnp.broadcast_to(c2w[2, 3], (n,)),
+    )
+    return org, d
+
+
+def nee_soa(static, sc: SceneSoA, v: VertexSoA, params, dir_view: V3,
+            used, lu0, lu1, lw, lsw, active):
+    """Batched NEE with power-2 MIS at vertex v; returns the already
+    masked contribution w1 * C1 / p1 (reference: src/path_tracing.h:115-227)."""
+    n = lu0.shape[0]
+    zero = jnp.zeros(n, REAL)
+    zero3 = V3(zero, zero, zero)
+    eps_shadow = static.shadow_epsilon
+    light_id, p_l, n_l, pdf_pt, is_env = sample_light_point(
+        static, sc, v.position, lu0, lu1, lw, lsw
+    )
+    to_l = p_l - v.position
+    dist = soa.length(to_l)
+    dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
+    dl = soa.where(is_env, -1.0 * n_l, dir_area)
+    tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
+    unoccluded = 1.0 - trs.occluded_soa(
+        static, sc.geom, v.position, dl, eps_shadow, tfar
+    ).astype(REAL)
+    g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
+    g = jnp.where(is_env, 1.0, g_area) * unoccluded
+    p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
+    f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
+    p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
+    env_nee = (
+        tsoa.envmap_emission_soa(_env_view(static, sc),
+                                 sc.mat_tables.pool3, dl)
+        if static.has_envmap else zero3
+    )
+    l_emit = soa.where(
+        is_env,
+        env_nee,
+        soa.where(
+            soa.dot(n_l, -1.0 * dl) > 0,
+            soa.gather(sc.light_intensity, light_id),
+            zero3,
+        ),
+    )
+    ok = (g > 0) & (p1 > 0) & active
+    w1 = jnp.where(ok, p1 * p1 / jnp.maximum(p1 * p1 + p2 * p2, 1e-30), 0.0)
+    scale = g * w1 / jnp.maximum(p1, 1e-30)
+    # Select, don't multiply-by-zero: f_nee can be NaN on masked
+    # lanes (degenerate dirs) and NaN * 0 poisons the sum.
+    contrib = f_nee * l_emit * scale
+    return soa.where(ok, contrib, zero3)
+
+
+def hit_light_pdf_soa(static, sc: SceneSoA, ref_pos: V3, nxt: VertexSoA,
+                      d_out: V3, dist2):
+    """p1 = pmf * pdf_point_on_light for a BSDF-sampled hit of an area
+    light (area measure; reference: src/path_tracing.h:291-325)."""
+    lid = jnp.maximum(nxt.light_id, 0)
+    lshape = jnp.maximum(soa.take(sc.light_shape_id, lid), 0)
+    pdf_mesh = 1.0 / jnp.maximum(soa.take(sc.shape_area, lshape), 1e-20)
+    if static.any_sphere_light:
+        sph = soa.take(sc.shape_prim_offset, lshape)
+        center = soa.gather(sc.geom.sph_center, sph)
+        r = soa.take(sc.geom.sph_radius, sph)
+        d2c = soa.length_squared(ref_pos - center)
+        inside = d2c < r * r
+        sin2max = r * r / jnp.maximum(d2c, 1e-20)
+        cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
+        pdf_cone_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-20)
+        pdf_sph = jnp.where(
+            inside,
+            pdf_mesh,
+            pdf_cone_sa * jnp.abs(soa.dot(nxt.gn, d_out)) / jnp.maximum(dist2, 1e-20),
+        )
+        pdf_pt2 = jnp.where(
+            soa.take(sc.shape_kind, lshape) == SHAPE_SPHERE, pdf_sph, pdf_mesh
+        )
+    else:
+        pdf_pt2 = pdf_mesh
+    return soa.take(sc.light_pmf, lid) * pdf_pt2
+
+
 def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0):
     """One sample for every ray in the batch; returns (radiance V3, rays).
     `static` is the hashable SceneStatic; `camera` the CameraArrays."""
@@ -395,35 +515,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     # Primary ray with filter importance sampling
     # (reference: src/camera.cpp:23-47).
     u0, u1 = uni2(0, _CTR_PIXEL)
-    from gdpt_tpu.scene import filters as gfilters
-
-    pix = jnp.stack([xs + u0, ys + u1], axis=-1) / jnp.asarray([w, h], REAL)
-    pixel = pix * jnp.asarray([w, h], REAL)
-    frac = pixel - jnp.floor(pixel)
-    offset = gfilters.sample_filter(static.filter_kind, static.filter_param, frac)
-    remapped = (jnp.floor(pixel) + 0.5 + offset) / jnp.asarray([w, h], REAL)
-    cam = camera
-    m = cam.sample_to_cam
-    px, py = remapped[:, 0], remapped[:, 1]
-    ptx = m[0, 0] * px + m[0, 1] * py + m[0, 3]
-    pty = m[1, 0] * px + m[1, 1] * py + m[1, 3]
-    ptz = m[2, 0] * px + m[2, 1] * py + m[2, 3]
-    ptw = m[3, 0] * px + m[3, 1] * py + m[3, 3]
-    pt = V3(ptx / ptw, pty / ptw, ptz / ptw)
-    c2w = cam.cam_to_world
-    d_cam = soa.normalize(pt)
-    d = soa.normalize(
-        V3(
-            c2w[0, 0] * d_cam.x + c2w[0, 1] * d_cam.y + c2w[0, 2] * d_cam.z,
-            c2w[1, 0] * d_cam.x + c2w[1, 1] * d_cam.y + c2w[1, 2] * d_cam.z,
-            c2w[2, 0] * d_cam.x + c2w[2, 1] * d_cam.y + c2w[2, 2] * d_cam.z,
-        )
-    )
-    org = V3(
-        jnp.broadcast_to(c2w[0, 3], (n,)),
-        jnp.broadcast_to(c2w[1, 3], (n,)),
-        jnp.broadcast_to(c2w[2, 3], (n,)),
-    )
+    org, d = primary_rays_soa(static, camera, xs, ys, u0, u1)
 
     hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, 0.0, BIG)
     vertex = shade_hit(static, sc, org, d, hit, gn_raw)
@@ -475,44 +567,9 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         if static.n_lights > 0:
             lu0, lu1 = uni2(b, _CTR_LIGHT_UV)
             lw, lsw = uni2(b, _CTR_LIGHT_W)
-            light_id, p_l, n_l, pdf_pt, is_env = sample_light_point(
-                static, sc, v.position, lu0, lu1, lw, lsw
-            )
-            to_l = p_l - v.position
-            dist = soa.length(to_l)
-            dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
-            dl = soa.where(is_env, -1.0 * n_l, dir_area)
-            tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
-            unoccluded = 1.0 - trs.occluded_soa(
-                static, sc.geom, v.position, dl, eps_shadow, tfar
-            ).astype(REAL)
-            g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
-            g = jnp.where(is_env, 1.0, g_area) * unoccluded
-            p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
-            f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
-            p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
-            env_nee = (
-                tsoa.envmap_emission_soa(_env_view(static, sc),
-                                         sc.mat_tables.pool3, dl)
-                if static.has_envmap else V3(zero, zero, zero)
-            )
-            l_emit = soa.where(
-                is_env,
-                env_nee,
-                soa.where(
-                    soa.dot(n_l, -1.0 * dl) > 0,
-                    soa.gather(sc.light_intensity, light_id),
-                    V3(zero, zero, zero),
-                ),
-            )
-            ok = (g > 0) & (p1 > 0) & active
-            w1 = jnp.where(ok, p1 * p1 / jnp.maximum(p1 * p1 + p2 * p2, 1e-30), 0.0)
-            scale = g * w1 / jnp.maximum(p1, 1e-30)
-            # Select, don't multiply-by-zero: f_nee can be NaN on masked
-            # lanes (degenerate dirs) and NaN * 0 poisons the sum.
-            contrib = s["throughput"] * f_nee * l_emit * scale
-            zero3 = V3(zero, zero, zero)
-            radiance = radiance + soa.where(ok, contrib, zero3)
+            nee = nee_soa(static, sc, v, params, dir_view, used,
+                          lu0, lu1, lw, lsw, active)
+            radiance = radiance + s["throughput"] * nee
             rays = rays + jnp.where(active, 1.0, 0.0)
 
         # ---- BSDF sampling (reference: src/path_tracing.h:232-345) ----
@@ -548,29 +605,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         if static.n_lights > 0:
             hit_light = nxt_ok & (nxt.light_id >= 0) & active
             l_emit = emission(sc, nxt, -1.0 * d_out)
-            lid = jnp.maximum(nxt.light_id, 0)
-            lshape = jnp.maximum(soa.take(sc.light_shape_id, lid), 0)
-            pdf_mesh = 1.0 / jnp.maximum(soa.take(sc.shape_area, lshape), 1e-20)
-            if static.any_sphere_light:
-                sph = soa.take(sc.shape_prim_offset, lshape)
-                center = soa.gather(sc.geom.sph_center, sph)
-                r = soa.take(sc.geom.sph_radius, sph)
-                d2c = soa.length_squared(v.position - center)
-                inside = d2c < r * r
-                sin2max = r * r / jnp.maximum(d2c, 1e-20)
-                cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2max))
-                pdf_cone_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-20)
-                pdf_sph = jnp.where(
-                    inside,
-                    pdf_mesh,
-                    pdf_cone_sa * jnp.abs(soa.dot(nxt.gn, d_out)) / jnp.maximum(dist2, 1e-20),
-                )
-                pdf_pt2 = jnp.where(
-                    soa.take(sc.shape_kind, lshape) == SHAPE_SPHERE, pdf_sph, pdf_mesh
-                )
-            else:
-                pdf_pt2 = pdf_mesh
-            p1h = soa.take(sc.light_pmf, lid) * pdf_pt2
+            p1h = hit_light_pdf_soa(static, sc, v.position, nxt, d_out, dist2)
             w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
             scale = g2 * w2 / jnp.maximum(p2a, 1e-30)
             contrib = s["throughput"] * f_b * l_emit * scale
@@ -625,6 +660,7 @@ def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
     """n_samples accumulated samples for the whole ray batch (jitted once
     per (scene static, batch size))."""
     n = xs.shape[0]
+
 
     def one(i, carry):
         acc, rays = carry

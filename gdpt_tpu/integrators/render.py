@@ -89,12 +89,18 @@ def render(scene: Scene, spp=None, seed=0):
         return render_samples(scene, path_integrator.trace_path, spp=spp, seed=seed)
     if integrator == "volpath":
         from gdpt_tpu.integrators import volpath as vol_integrator
+        from gdpt_tpu.integrators import volpath_soa
 
+        if volpath_soa.supports_soa_volpath(scene):
+            return volpath_soa.render_volpath_soa(scene, spp=spp, seed=seed)
         return render_samples(
             scene, vol_integrator.trace_fn(scene.static), spp=spp, seed=seed
         )
     if integrator == "gradpath":
         from gdpt_tpu.integrators import gdpt as gdpt_integrator
+        from gdpt_tpu.integrators import gdpt_soa
 
+        if gdpt_soa.supports_soa_gdpt(scene):
+            return gdpt_soa.render_gradpath_soa(scene, spp=spp, seed=seed)
         return gdpt_integrator.render_gradpath(scene, spp=spp, seed=seed)
     raise ValueError(f"unknown integrator: {integrator}")

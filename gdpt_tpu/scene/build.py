@@ -140,6 +140,8 @@ class SceneStatic:
     media_phase_kinds: Tuple[int, ...]
     media_is_hetero: Tuple[bool, ...]
     media_albedo_is_grid: Tuple[bool, ...]
+    # ((density_xyz_res, albedo_xyz_res), ...) — static grid shapes for SoA
+    media_grid_res: Tuple
     shadow_epsilon: float
     intersection_epsilon: float
     options: M.RenderOptions
@@ -605,6 +607,15 @@ def build_scene(
         media_phase_kinds=phase_kinds,
         media_is_hetero=media_hetero,
         media_albedo_is_grid=media_albedo_grid,
+        media_grid_res=tuple(
+            (
+                (int(m.density.grid.shape[2]), int(m.density.grid.shape[1]),
+                 int(m.density.grid.shape[0])),
+                (int(m.albedo.grid.shape[2]), int(m.albedo.grid.shape[1]),
+                 int(m.albedo.grid.shape[0])),
+            )
+            for m in media_arrays
+        ),
         shadow_epsilon=shadow_eps,
         intersection_epsilon=isect_eps,
         options=options,

@@ -120,3 +120,69 @@ def test_gdpt_shared_randoms_produce_correlated_offsets():
     # Pixel away from the sphere silhouette: all 5 paths miss or all hit
     # nothing -> primal 0 (no emitter hit; envmap misses terminate paths).
     assert np.isfinite(np.asarray(out.primal)).all()
+
+
+# ---------------------------------------------------------------------------
+# SoA GDPT twin (integrators/gdpt_soa.py) vs the per-ray oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gdpt_soa_run(gdpt_run):
+    from gdpt_tpu.integrators import gdpt_soa
+
+    sc = presets.cornell_box(
+        width=48, height=48, spp=24, integrator="gradpath", max_depth=5
+    )
+    assert gdpt_soa.supports_soa_gdpt(sc)
+    recon, aux = gdpt_soa.render_gradpath_soa(sc, seed=4, return_aux=True)
+    return recon, aux, gdpt_run
+
+
+def test_gdpt_soa_matches_per_ray_buffers(gdpt_soa_run):
+    recon_s, aux_s, (recon_a, aux_a, ref) = gdpt_soa_run
+    assert np.isfinite(recon_s).all()
+    # Primal is a full path-tracing estimate: tight agreement.
+    assert abs(aux_s["primal"].mean() - aux_a["primal"].mean()) / aux_a[
+        "primal"
+    ].mean() < 0.05
+    # BF primal and gradients are high-variance; compare means.
+    assert abs(aux_s["primal_bf"].mean() - aux_a["primal_bf"].mean()) / aux_a[
+        "primal_bf"
+    ].mean() < 0.1
+    for k in ("gx", "gy"):
+        assert abs(aux_s[k].mean() - aux_a[k].mean()) < 0.01, k
+
+
+def test_gdpt_soa_reconstruction_quality(gdpt_soa_run):
+    # The SoA twin's reconstruction passes the same value-proposition gate
+    # as the per-ray one: Poisson recon from the noise-matched BF pair
+    # beats that primal against a converged reference.
+    import jax.numpy as jnp2
+
+    from gdpt_tpu.ops import poisson as poisson_ops
+
+    recon_s, aux_s, (recon_a, aux_a, ref) = gdpt_soa_run
+
+    def rmse(a, b):
+        return float(np.sqrt(((a - b) ** 2).mean()))
+
+    recon_bf = np.asarray(
+        poisson_ops.screened_poisson_solve(
+            jnp2.asarray(aux_s["primal_bf"]), jnp2.asarray(aux_s["gx"]),
+            jnp2.asarray(aux_s["gy"]), 0.04,
+        )
+    )
+    assert rmse(recon_bf, ref) < 0.8 * rmse(aux_s["primal_bf"], ref)
+    assert rmse(recon_s, ref) < 1.15 * rmse(aux_s["primal"], ref)
+
+
+def test_gdpt_soa_gradients_correlate(gdpt_soa_run):
+    recon_s, aux_s, (recon_a, aux_a, ref) = gdpt_soa_run
+    gx_ref = np.zeros_like(ref)
+    gx_ref[:, 1:] = ref[:, 1:] - ref[:, :-1]
+    corr = np.corrcoef(aux_s["gx"][:, 1:].ravel(), gx_ref[:, 1:].ravel())[0, 1]
+    assert corr > 0.5, corr
+    # And with the per-ray estimate of the same quantity.
+    corr2 = np.corrcoef(aux_s["gx"].ravel(), aux_a["gx"].ravel())[0, 1]
+    assert corr2 > 0.3, corr2

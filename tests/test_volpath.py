@@ -82,3 +82,47 @@ def test_hg_phase_asymmetry_changes_image():
     assert np.isfinite(b).all()
     # Strong forward scattering redistributes energy.
     assert abs(a.mean() - b.mean()) / a.mean() > 0.02
+
+
+# ---------------------------------------------------------------------------
+# SoA final-version twin (integrators/volpath_soa.py) vs the per-ray oracle
+# ---------------------------------------------------------------------------
+
+
+def test_volpath_soa_matches_per_ray_hetero():
+    from gdpt_tpu.integrators import volpath as vol
+    from gdpt_tpu.integrators import volpath_soa
+
+    sc = presets.volpath_scene(
+        version=6, width=20, height=20, spp=48, max_depth=6,
+        hetero=True, with_diffuse_sphere=True,
+    )
+    assert volpath_soa.supports_soa_volpath(sc)
+    a = volpath_soa.render_volpath_soa(sc, seed=3)
+    b = R.render_samples(sc, vol.trace_fn(sc.static), spp=48, seed=4)
+    assert np.isfinite(a).all() and (a >= 0).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.06, (a.mean(), b.mean())
+    ka = a.reshape(5, 4, 5, 4, 3).mean(axis=(1, 3))
+    kb = b.reshape(5, 4, 5, 4, 3).mean(axis=(1, 3))
+    rel = np.abs(ka - kb) / (kb + 2e-2)
+    assert np.quantile(rel, 0.9) < 0.2, np.quantile(rel, 0.9)
+
+
+def test_volpath_soa_homogeneous_matches_closed_form():
+    from gdpt_tpu.integrators import volpath as vol
+    from gdpt_tpu.integrators import volpath_soa
+
+    sc6 = presets.volpath_scene(version=6, width=20, height=20, spp=64, max_depth=6)
+    a = volpath_soa.render_volpath_soa(sc6, seed=3)
+    sc5 = presets.volpath_scene(version=5, width=20, height=20, spp=64, max_depth=6)
+    c = R.render_samples(sc5, vol.trace_fn(sc5.static), spp=64, seed=5)
+    assert abs(a.mean() - c.mean()) / c.mean() < 0.08
+
+
+def test_volpath_dispatch_uses_soa_for_v6():
+    from gdpt_tpu.integrators import volpath_soa
+
+    sc = presets.volpath_scene(version=6, width=12, height=12, spp=8, max_depth=4)
+    assert volpath_soa.supports_soa_volpath(sc)
+    img = R.render(sc, seed=1)
+    assert np.isfinite(img).all() and img.max() > 0
