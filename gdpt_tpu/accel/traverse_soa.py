@@ -33,9 +33,68 @@ class GeomSoA(NamedTuple):
     bvh_count: jnp.ndarray
     bvh_miss: jnp.ndarray
     bvh_prim_order: jnp.ndarray
+    # Packed traversal table (pure-triangle BVHs; None otherwise):
+    # bvh_nodes48 (n_nodes, 48): bmin.xyz, bmax.xyz, miss (bitcast),
+    #   is_leaf (bitcast), then 4 x (v0, e1, e2) inline leaf triangles and
+    #   4 prim ids (bitcast) — one row gather per traversal step.
+    bvh_nodes48: jnp.ndarray = None
+
+
+_LEAF_W = 4  # prims per packed leaf row (== bvh build leaf size)
+
+
+def _pack_bvh(geom):
+    """Host-side packing of the miss-link BVH into one row-gatherable
+    table: per traversal step, a single (N, 48) gather fetches the node
+    bbox, links, and the leaf's 4 triangles inline (vs ~45 scalar-table
+    gathers; the lockstep loop is gather-latency bound on TPU)."""
+    import numpy as np
+
+    n_nodes = geom.bvh_count.shape[0]
+    n_tris = geom.tri_v0.shape[0]
+    if n_nodes == 0:
+        return None
+    order = np.asarray(geom.bvh_prim_order)
+    if order.size and order.max(initial=0) >= n_tris:
+        return None  # spheres in the BVH: packed path not built
+    count = np.asarray(geom.bvh_count)
+    first = np.asarray(geom.bvh_first)
+    miss = np.asarray(geom.bvh_miss).astype(np.int32)
+    bmin = np.asarray(geom.bvh_bbox_min, np.float32)
+    bmax = np.asarray(geom.bvh_bbox_max, np.float32)
+
+    leaf_mask = count > 0
+    is_leaf = leaf_mask.astype(np.int32)
+
+    lf = first[:, None]
+    lc = count[:, None]
+    j = np.arange(_LEAF_W)[None, :]
+    valid = (j < lc) & leaf_mask[:, None]
+    slots = np.clip(lf + j, 0, max(order.size - 1, 0))
+    prim = np.where(valid, order[slots] if order.size else 0, -1).astype(np.int32)
+    pv = np.clip(prim, 0, max(n_tris - 1, 0))
+    v0 = np.asarray(geom.tri_v0, np.float32)[pv]
+    e1 = np.asarray(geom.tri_e1, np.float32)[pv]
+    e2 = np.asarray(geom.tri_e2, np.float32)[pv]
+    # Degenerate tri for padded/inner slots -> det == 0 -> never hits.
+    z = (~valid)[..., None]
+    v0 = np.where(z, 0.0, v0)
+    e1 = np.where(z, 0.0, e1)
+    e2 = np.where(z, 0.0, e2)
+    tri36 = np.concatenate([v0, e1, e2], axis=2).reshape(n_nodes, _LEAF_W * 9)
+    nodes48 = np.concatenate(
+        [bmin, bmax,
+         miss.view(np.float32)[:, None],
+         is_leaf.view(np.float32)[:, None],
+         tri36,
+         prim.view(np.float32)],
+        axis=1,
+    ).astype(np.float32)
+    return jnp.asarray(nodes48)
 
 
 def geom_soa_from_aos(geom) -> GeomSoA:
+    nodes48 = _pack_bvh(geom)
     return GeomSoA(
         soa.from_rows(geom.tri_v0),
         soa.from_rows(geom.tri_e1),
@@ -54,6 +113,7 @@ def geom_soa_from_aos(geom) -> GeomSoA:
         geom.bvh_count,
         geom.bvh_miss,
         geom.bvh_prim_order,
+        nodes48,
     )
 
 
@@ -275,8 +335,112 @@ def intersect_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
     return HitSoA(out["t"], out["prim"], out["u"], out["v"])
 
 
+def intersect_bvh_packed(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+    """Packed stackless traversal: ONE (N, 48) row gather per step (node
+    bbox + links + inline leaf triangles), 4 steps unrolled per
+    convergence check (the cond's any() reduction is ~half the loop cost
+    otherwise). Returns (HitSoA, unnormalized geometric normal V3)."""
+    n = org.x.shape[0]
+    n_nodes = g.bvh_nodes48.shape[0]
+    inv = V3(
+        1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+        1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+        1.0 / jnp.where(d.z == 0, 1e-20, d.z),
+    )
+    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
+    tfar0 = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+    zero = jnp.zeros(n, REAL)
+    _UNROLL = 4
+
+    def step(s):
+        node = jnp.minimum(s["node"], n_nodes - 1)
+        active = s["node"] < n_nodes
+        row = jnp.take(g.bvh_nodes48, node, axis=0, mode="clip")
+        t0x = (row[:, 0] - org.x) * inv.x
+        t1x = (row[:, 3] - org.x) * inv.x
+        t0y = (row[:, 1] - org.y) * inv.y
+        t1y = (row[:, 4] - org.y) * inv.y
+        t0z = (row[:, 2] - org.z) * inv.z
+        t1z = (row[:, 5] - org.z) * inv.z
+        t_in = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.maximum(jnp.minimum(t0z, t1z), tnear),
+        )
+        t_out = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.minimum(jnp.maximum(t0z, t1z), s["t"]),
+        )
+        hit_box = t_in <= t_out
+        miss_link = jax.lax.bitcast_convert_type(row[:, 6], jnp.int32)
+        is_leaf = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32) != 0
+        test_leaf = active & hit_box & is_leaf
+
+        best_t = s["t"]
+        best_prim = s["prim"]
+        best_u, best_v = s["u"], s["v"]
+        gnx, gny, gnz = s["gnx"], s["gny"], s["gnz"]
+        for j in range(_LEAF_W):
+            b = 8 + j * 9
+            v0 = V3(row[:, b + 0], row[:, b + 1], row[:, b + 2])
+            e1 = V3(row[:, b + 3], row[:, b + 4], row[:, b + 5])
+            e2 = V3(row[:, b + 6], row[:, b + 7], row[:, b + 8])
+            prim = jax.lax.bitcast_convert_type(
+                row[:, 8 + _LEAF_W * 9 + j], jnp.int32
+            )
+            pvec = soa.cross(d, e2)
+            det = soa.dot(e1, pvec)
+            inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+            tvec = org - v0
+            u = soa.dot(tvec, pvec) * inv_det
+            qvec = soa.cross(tvec, e1)
+            v = soa.dot(d, qvec) * inv_det
+            t = soa.dot(e2, qvec) * inv_det
+            hit = (
+                (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
+                & (t >= tnear) & (t < best_t) & (prim >= 0) & test_leaf
+            )
+            gn = soa.cross(e1, e2)
+            best_prim = jnp.where(hit, prim, best_prim)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            gnx = jnp.where(hit, gn.x, gnx)
+            gny = jnp.where(hit, gn.y, gny)
+            gnz = jnp.where(hit, gn.z, gnz)
+            best_t = jnp.where(hit, t, best_t)
+
+        nxt = jnp.where(hit_box & ~is_leaf, node + 1, miss_link)
+        nxt = jnp.where(active, nxt, s["node"])
+        return dict(
+            node=nxt, t=best_t, prim=best_prim, u=best_u, v=best_v,
+            gnx=gnx, gny=gny, gnz=gnz,
+        )
+
+    def cond(s):
+        return jnp.any(s["node"] < n_nodes)
+
+    def body(s):
+        for _ in range(_UNROLL):
+            s = step(s)
+        return s
+
+    state = dict(
+        node=jnp.zeros(n, INT),
+        t=tfar0,
+        prim=jnp.full(n, -1, INT),
+        u=zero, v=zero, gnx=zero, gny=zero, gnz=jnp.ones(n, REAL),
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return (
+        HitSoA(out["t"], out["prim"], out["u"], out["v"]),
+        V3(out["gnx"], out["gny"], out["gnz"]),
+    )
+
+
 def occluded_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
-    hit = intersect_bvh_soa(static, g, org, d, tnear, tfar)
+    if g.bvh_nodes48 is not None:
+        hit, _ = intersect_bvh_packed(static, g, org, d, tnear, tfar)
+    else:
+        hit = intersect_bvh_soa(static, g, org, d, tnear, tfar)
     return hit.prim_id >= 0
 
 
@@ -300,6 +464,8 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
             return pli.intersect_brute_pallas(static, g, org, d, tnear, tfar)
         return intersect_brute_soa(static, g, org, d, tnear, tfar), None
+    if g.bvh_nodes48 is not None:
+        return intersect_bvh_packed(static, g, org, d, tnear, tfar)
     return intersect_bvh_soa(static, g, org, d, tnear, tfar), None
 
 

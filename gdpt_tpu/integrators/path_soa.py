@@ -651,7 +651,12 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             rays=rays,
         )
 
-    out = jax.lax.while_loop(cond, body, state)
+    if static.options.max_depth > 0:
+        # Fixed trip count: XLA schedules fori bodies without the
+        # early-exit cond's cross-iteration staging.
+        out = jax.lax.fori_loop(0, n_iters, lambda i, s: body(s), state)
+    else:
+        out = jax.lax.while_loop(cond, body, state)
     return out["radiance"], out["rays"]
 
 

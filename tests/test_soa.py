@@ -332,3 +332,17 @@ def test_soa_image_texture_matches_aos():
     b = R.render_samples(sc, path_aos.trace_path, spp=64, seed=4)
     assert np.isfinite(a).all()
     assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
+
+
+def test_sharded_gdpt_and_volpath_run():
+    from gdpt_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    scg = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
+                              integrator="gradpath")
+    img = sharding.render_gradpath_soa_sharded(scg, mesh, spp=2)
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+    scv = presets.volpath_scene(version=6, width=16, height=16, spp=2,
+                                max_depth=4, hetero=True)
+    img = sharding.render_volpath_soa_sharded(scv, mesh, spp=2)
+    assert img.shape == (16, 16, 3) and np.isfinite(img).all()

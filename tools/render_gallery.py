@@ -12,13 +12,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
+# (path, resolution, spp, max_depth or None to honor the scene file)
 SCENES = {
-    "cbox": ("/root/reference/scenes/cbox/cbox_old.xml", 512, 256),
-    "veach_mi": ("/root/reference/scenes/veach_mi/mi.xml", 512, 256),
+    "cbox": ("/root/reference/scenes/cbox/cbox_old.xml", 512, 256, None),
+    "veach_mi": ("/root/reference/scenes/veach_mi/mi.xml", 512, 256, None),
     "disney_array": (
-        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 512, 256
+        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 512, 64, 6
     ),
-    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 512, 256),
+    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 512, 64, 6),
 }
 
 
@@ -31,12 +32,20 @@ def main():
 
     names = sys.argv[1:] or list(SCENES)
     os.makedirs("gallery", exist_ok=True)
+    import dataclasses
+
     for name in names:
-        path, res, spp = SCENES[name]
+        path, res, spp, md = SCENES[name]
         if not os.path.exists(path):
             print(f"[gallery] {name}: scene missing, skipped")
             continue
         sc, _ = parser.parse_scene(path, width=res, height=res, spp=spp)
+        if md is not None:
+            st = dataclasses.replace(
+                sc.static,
+                options=dataclasses.replace(sc.static.options, max_depth=md),
+            )
+            sc = sc._replace(static=st)
         t0 = time.perf_counter()
         if path_soa.supports_soa(sc):
             img = path_soa.render_soa(sc, spp=spp, seed=0)
