@@ -694,9 +694,14 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
-    # Amortize per-pass dispatch/transfer: big sample batches per jit call
-    # (the fori accumulator is O(N) memory regardless of batch size).
-    batch = max(1, (1 << 26) // n)
+    # Amortize per-pass dispatch/transfer with big sample batches, but
+    # bound per-dispatch work: the device runtime kills executions that
+    # run for minutes, and BVH scenes pay ~0.1-1s per bounce of
+    # latency-bound traversal regardless of batch width.
+    md = static.options.max_depth
+    iters = HARD_BOUNCE_CAP if md < 0 else min(max(md, 1), HARD_BOUNCE_CAP)
+    budget = (1 << 26) if static.use_brute_force else (1 << 21)
+    batch = max(1, budget // (n * iters))
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0

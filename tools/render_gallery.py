@@ -16,10 +16,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 SCENES = {
     "cbox": ("/root/reference/scenes/cbox/cbox_old.xml", 512, 256, None),
     "veach_mi": ("/root/reference/scenes/veach_mi/mi.xml", 512, 256, None),
+    # BVH-heavy scenes: latency-bound traversal, keep per-dispatch time
+    # under the device watchdog (see README performance notes).
     "disney_array": (
-        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 512, 64, 6
+        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 256, 64, 5
     ),
-    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 512, 64, 6),
+    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 256, 64, 5),
+    # sponza's scene file asks for gradpath; render the path version here
+    # (the GDPT version is rendered separately at lower spp — 5 paths and
+    # 10 traversals per bounce).
+    "sponza_path": ("/root/reference/scenes/sponza/sponza.xml", 256, 48, 5, "path"),
 }
 
 
@@ -35,17 +41,21 @@ def main():
     import dataclasses
 
     for name in names:
-        path, res, spp, md = SCENES[name]
+        entry = SCENES[name]
+        path, res, spp, md = entry[:4]
+        integ = entry[4] if len(entry) > 4 else None
         if not os.path.exists(path):
             print(f"[gallery] {name}: scene missing, skipped")
             continue
         sc, _ = parser.parse_scene(path, width=res, height=res, spp=spp)
-        if md is not None:
-            st = dataclasses.replace(
-                sc.static,
-                options=dataclasses.replace(sc.static.options, max_depth=md),
+        if md is not None or integ is not None:
+            opts = sc.static.options
+            opts = dataclasses.replace(
+                opts,
+                max_depth=md if md is not None else opts.max_depth,
+                integrator=integ if integ is not None else opts.integrator,
             )
-            sc = sc._replace(static=st)
+            sc = sc._replace(static=dataclasses.replace(sc.static, options=opts))
         t0 = time.perf_counter()
         if path_soa.supports_soa(sc):
             img = path_soa.render_soa(sc, spp=spp, seed=0)
