@@ -379,8 +379,12 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
-    # ~5x the rays of a plain path sample per GDPT sample.
-    batch = max(1, (1 << 23) // n)
+    # ~5x the rays of a plain path sample per GDPT sample; BVH scenes are
+    # latency-bound, keep each dispatch to one sample (device watchdog).
+    if static.use_brute_force:
+        batch = max(1, (1 << 23) // n)
+    else:
+        batch = 1  # latency-bound traversal; see path_soa.render_soa
     acc = np.zeros((6, 3, n), np.float64)
     total_rays = 0.0
     done = 0

@@ -700,8 +700,15 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     # latency-bound traversal regardless of batch width.
     md = static.options.max_depth
     iters = HARD_BOUNCE_CAP if md < 0 else min(max(md, 1), HARD_BOUNCE_CAP)
-    budget = (1 << 26) if static.use_brute_force else (1 << 21)
-    batch = max(1, budget // (n * iters))
+    if static.use_brute_force:
+        # Brute scenes are throughput-bound and fast per bounce: big
+        # batches amortize dispatch (the 512^2 cbox does 256 spp in ~2s).
+        batch = max(1, (1 << 26) // n)
+    else:
+        # BVH traversal is latency-bound: per-sample time is nearly
+        # independent of image size, so ALWAYS one sample per dispatch
+        # (the device watchdog kills multi-minute executions).
+        batch = 1
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0

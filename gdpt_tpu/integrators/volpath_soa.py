@@ -550,7 +550,10 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False):
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
-    batch = max(1, (1 << 24) // n)
+    if static.use_brute_force:
+        batch = max(1, (1 << 24) // n)
+    else:
+        batch = 1  # latency-bound traversal; see path_soa.render_soa
     acc = np.zeros((3, n), np.float64)
     total_rays = 0.0
     done = 0

@@ -25,7 +25,7 @@ SCENES = {
     # sponza's scene file asks for gradpath; render the path version here
     # (the GDPT version is rendered separately at lower spp — 5 paths and
     # 10 traversals per bounce).
-    "sponza_path": ("/root/reference/scenes/sponza/sponza.xml", 256, 48, 5, "path"),
+    "sponza_path": ("/root/reference/scenes/sponza/sponza.xml", 128, 48, 5, "path"),
 }
 
 
