@@ -216,18 +216,24 @@ def pcg3d(v0, v1, v2):
 _RNG_IMPL = "pcg3d"  # set GDPT_RNG=threefry for the heavyweight streams
 
 
-def uniform2(seed, stream, counter):
+def uniform2(seed, stream, counter, sample=0):
     """Two independent uniforms in [0, 1) per lane.
 
     seed: scalar uint32; stream: (N,) lane stream ids (e.g. ray index);
-    counter: scalar or (N,) use-site counter.
+    counter: scalar or (N,) use-site counter; sample: scalar sample index.
+
+    The sample index is a separate input word (threefry's 4th word /
+    mixed into the pcg3d seed lane), so use-site counters own the full
+    32-bit space per sample — no stride to overflow, no cross-sample
+    stream reuse however deep the loop counters run.
     """
     import os
 
     c = jnp.broadcast_to(jnp.asarray(counter, jnp.uint32), stream.shape)
     s = jnp.broadcast_to(jnp.asarray(seed, jnp.uint32), stream.shape)
+    smp = jnp.broadcast_to(jnp.asarray(sample, jnp.uint32), stream.shape)
     if os.environ.get("GDPT_RNG", _RNG_IMPL) == "threefry":
-        r0, r1 = threefry2x32(s, stream.astype(jnp.uint32), c, jnp.zeros_like(c))
+        r0, r1 = threefry2x32(s, stream.astype(jnp.uint32), c, smp)
     else:
         # Premix the stream id (murmur3 finalizer): raw pcg3d leaves
         # adjacent streams at the same counter measurably correlated, which
@@ -237,10 +243,10 @@ def uniform2(seed, stream, counter):
         t = t ^ (t >> 16)
         t = t * jnp.uint32(0x85EBCA6B)
         t = t ^ (t >> 13)
-        r0, r1 = pcg3d(t, c, s)
+        r0, r1 = pcg3d(t, c, s + smp * jnp.uint32(0x9E3779B9))
     scale = jnp.asarray(1.0 / 4294967808.0, REAL)  # keeps values < 1 in f32
     return r0.astype(REAL) * scale, r1.astype(REAL) * scale
 
 
-def uniform1(seed, stream, counter):
-    return uniform2(seed, stream, counter)[0]
+def uniform1(seed, stream, counter, sample=0):
+    return uniform2(seed, stream, counter, sample)[0]

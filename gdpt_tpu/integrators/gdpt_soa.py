@@ -82,11 +82,8 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
     eps_isect = static.intersection_epsilon
 
     def uni2(bounce, ctr):
-        counter = (
-            jnp.asarray(sample0, jnp.uint32) * jnp.uint32(131071)
-            + jnp.asarray(bounce * ps._CTR_STRIDE + ctr, jnp.uint32)
-        )
-        return soa.uniform2(seed, ray_idx, counter)
+        counter = jnp.asarray(bounce * ps._CTR_STRIDE + ctr, jnp.uint32)
+        return soa.uniform2(seed, ray_idx, counter, sample0)
 
     u0, u1 = uni2(0, ps._CTR_PIXEL)
 
@@ -366,7 +363,8 @@ def _gdpt_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
 
 
 def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
-                        return_stats=False):
+                        return_stats=False, start_sample=0, init_acc=None,
+                        on_chunk=None):
     """SoA GDPT driver: accumulate primal + 4 gradient buffers, then
     screened-Poisson reconstruct (reference: src/render.cpp:257-370)."""
     static = scene.static
@@ -385,9 +383,10 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
         batch = max(1, (1 << 23) // n)
     else:
         batch = 1  # latency-bound traversal; see path_soa.render_soa
-    acc = np.zeros((6, 3, n), np.float64)
+    acc = (np.zeros((6, 3, n), np.float64) if init_acc is None
+           else np.asarray(init_acc, np.float64).copy())
     total_rays = 0.0
-    done = 0
+    done = int(start_sample)
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _gdpt_pass(
@@ -400,6 +399,8 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
             acc[i, 2] += np.asarray(buf.z, np.float64)
         total_rays += float(nrays)
         done += k
+        if on_chunk is not None:
+            on_chunk(acc, done)
 
     def img(i):
         return (acc[i] / spp).T.reshape(h, w, 3).astype(np.float32)

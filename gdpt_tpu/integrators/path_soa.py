@@ -506,11 +506,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     )
 
     def uni2(bounce, ctr):
-        counter = (
-            jnp.asarray(sample0, jnp.uint32) * jnp.uint32(131071)
-            + jnp.asarray(bounce * _CTR_STRIDE + ctr, jnp.uint32)
-        )
-        return soa.uniform2(seed, ray_idx, counter)
+        counter = jnp.asarray(bounce * _CTR_STRIDE + ctr, jnp.uint32)
+        return soa.uniform2(seed, ray_idx, counter, sample0)
 
     # Primary ray with filter importance sampling
     # (reference: src/camera.cpp:23-47).
@@ -682,8 +679,14 @@ def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
     return jax.lax.fori_loop(0, n_samples, one, (zero, jnp.asarray(0.0, REAL)))
 
 
-def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
-    """SoA render driver for the path integrator."""
+def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
+               start_sample=0, init_acc=None, on_chunk=None):
+    """SoA render driver for the path integrator.
+
+    start_sample/init_acc resume an interrupted accumulation (init_acc is
+    the raw (3, n) float64 sample-sum array); on_chunk(acc, done) fires
+    after every device pass for checkpointing.
+    """
     static = scene.static
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
@@ -709,9 +712,10 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
         # independent of image size, so ALWAYS one sample per dispatch
         # (the device watchdog kills multi-minute executions).
         batch = 1
-    acc = np.zeros((3, n), np.float64)
+    acc = (np.zeros((3, n), np.float64) if init_acc is None
+           else np.asarray(init_acc, np.float64).copy())
     total_rays = 0.0
-    done = 0
+    done = int(start_sample)
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _soa_pass(
@@ -723,6 +727,8 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False):
         acc[2] += np.asarray(out.z, np.float64)
         total_rays += float(nrays)
         done += k
+        if on_chunk is not None:
+            on_chunk(acc, done)
     img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
     img = np.where(np.isfinite(img), img, 0.0)
     if return_stats:

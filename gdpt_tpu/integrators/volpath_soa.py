@@ -81,10 +81,12 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
     eps_isect = static.intersection_epsilon
 
     def uni2(counter):
-        c = jnp.asarray(sample0, jnp.uint32) * jnp.uint32(131071) + jnp.asarray(
-            counter, jnp.uint32
-        )
-        return soa.uniform2(seed, ray_idx, c)
+        # Loop-block counters (_BLK_*) can run past any fixed per-sample
+        # stride in deep volumetric paths; the sample index rides its own
+        # RNG input word instead, so the counter space never aliases
+        # across samples.
+        return soa.uniform2(seed, ray_idx, jnp.asarray(counter, jnp.uint32),
+                            sample0)
 
     def bounce_uni2(b, slot):
         return uni2(b * ps._CTR_STRIDE + slot)
@@ -538,7 +540,8 @@ def _vol_pass(static, camera, sc, media, xs, ys, ray_idx, seed, sample0,
     return jax.lax.fori_loop(0, n_samples, one, (zero3, jnp.asarray(0.0, REAL)))
 
 
-def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False):
+def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
+                       start_sample=0, init_acc=None, on_chunk=None):
     static = scene.static
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
@@ -554,9 +557,10 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False):
         batch = max(1, (1 << 24) // n)
     else:
         batch = 1  # latency-bound traversal; see path_soa.render_soa
-    acc = np.zeros((3, n), np.float64)
+    acc = (np.zeros((3, n), np.float64) if init_acc is None
+           else np.asarray(init_acc, np.float64).copy())
     total_rays = 0.0
-    done = 0
+    done = int(start_sample)
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _vol_pass(
@@ -568,6 +572,8 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False):
         acc[2] += np.asarray(out.z, np.float64)
         total_rays += float(nrays)
         done += k
+        if on_chunk is not None:
+            on_chunk(acc, done)
     img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
     img = np.where(np.isfinite(img), img, 0.0)
     if return_stats:
