@@ -360,7 +360,8 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
     )
 
 
-def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
+def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False,
+                    start_sample=0, init_acc=None, on_chunk=None):
     """GDPT render driver: accumulate primal + 4 gradient buffers, then
     screened-Poisson reconstruct (reference: src/render.cpp:257-370)."""
     from functools import partial
@@ -391,14 +392,19 @@ def render_gradpath(scene: Scene, spp=None, seed=0, return_aux=False):
 
     # ~5x the rays of a plain path sample per GDPT sample.
     batch = max(1, (1 << 18) // n_pix)
-    acc = [np.zeros((n_pix, 3), np.float64) for _ in range(6)]
-    done = 0
+    if init_acc is None:
+        acc = np.zeros((6, n_pix, 3), np.float64)
+    else:
+        acc = np.asarray(init_acc, np.float64).copy()
+    done = int(start_sample)
     while done < spp:
         n = min(batch, spp - done)
         out = gdpt_pass(scene.device, done, n)
         for i, a in enumerate(out):
             acc[i] += np.asarray(a, np.float64)
         done += n
+        if on_chunk is not None:
+            on_chunk(acc, done)
 
     primal, primal_bf, gxh, gxn, gyh, gyn = (
         (a / spp).reshape(h, w, 3).astype(np.float32) for a in acc

@@ -47,8 +47,14 @@ def _render_pass(device, static, trace_fn, xs, ys, pix_idx, sample0,
     return acc
 
 
-def render_samples(scene: Scene, trace_fn, spp=None, seed=0):
-    """Monte Carlo accumulation driver; returns (h, w, 3) numpy image."""
+def render_samples(scene: Scene, trace_fn, spp=None, seed=0,
+                   start_sample=0, init_acc=None, on_chunk=None):
+    """Monte Carlo accumulation driver; returns (h, w, 3) numpy image.
+
+    start_sample/init_acc resume an interrupted accumulation (init_acc is
+    the raw (n_pix, 3) float64 sample-sum array); on_chunk(acc, done)
+    fires after every device pass for checkpointing.
+    """
     static = scene.static
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
@@ -59,8 +65,9 @@ def render_samples(scene: Scene, trace_fn, spp=None, seed=0):
     pix_idx = jnp.arange(n_pix, dtype=jnp.int32)
 
     batch = max(1, min(spp, MAX_RAYS_PER_PASS // n_pix))
-    acc = np.zeros((n_pix, 3), np.float64)
-    done = 0
+    acc = (np.zeros((n_pix, 3), np.float64) if init_acc is None
+           else np.asarray(init_acc, np.float64).copy())
+    done = int(start_sample)
     while done < spp:
         n = min(batch, spp - done)
         out = _render_pass(
@@ -68,6 +75,8 @@ def render_samples(scene: Scene, trace_fn, spp=None, seed=0):
         )
         acc += np.asarray(out, np.float64)
         done += n
+        if on_chunk is not None:
+            on_chunk(acc, done)
     img = (acc / spp).reshape(h, w, 3)
     # NaN filtering as in the reference volumetric driver
     # (reference: src/render.cpp:156-159).
