@@ -43,7 +43,14 @@ _UNROLL = 2  # steps per while_loop convergence check
 
 
 class Super16(NamedTuple):
-    table: jnp.ndarray       # (R, W) f32 unified supernode + leaf rows
+    # (R, W) int32 unified supernode + leaf rows. The table is integer
+    # typed on purpose: ref/prim columns are int payloads, and geometry
+    # f32 rides as bitcast int32. The reverse layout (ints bitcast into
+    # an f32 table) corrupts: XLA canonicalizes NaN-pattern floats
+    # (e.g. ~row leaf refs = negative quiet NaNs -> 0x7FC00000) somewhere
+    # in the fused gather pipeline, on CPU and TPU alike. Normal floats
+    # stored as int bits are never touched by int ops.
+    table: jnp.ndarray
     depth_dummy: jnp.ndarray  # (max_depth + 1,) shape-only stack bound
     leaf_dummy: jnp.ndarray   # (L,) shape-only: prims per leaf row
 
@@ -179,7 +186,7 @@ def _try_build(bmin, bmax, miss, is_leaf_b, cnt_sub, pstart, order,
                 refs[si, k] = np.int32(~np.int32(n_super + fat_of[c]))
             else:
                 refs[si, k] = np.int32(super_of[c])
-    table[:n_super, 96:112] = refs.view(np.float32)
+    table.view(np.int32)[:n_super, 96:112] = refs
 
     # Fat leaf rows: L inline primitives + prim ids (degenerate padding).
     prim_pad = np.full((n_fat, L), -1, np.int32)
@@ -187,13 +194,18 @@ def _try_build(bmin, bmax, miss, is_leaf_b, cnt_sub, pstart, order,
         prims = order[lo: lo + cnt].astype(np.int32)
         table[n_super + fi, : cnt * 9] = geo9[prims].reshape(-1)
         prim_pad[fi, :cnt] = prims
-    table[n_super:, 9 * L: 10 * L] = prim_pad.view(np.float32)
+    table.view(np.int32)[n_super:, 9 * L: 10 * L] = prim_pad
 
     return Super16(
-        jnp.asarray(table),
+        jnp.asarray(table.view(np.int32)),
         jnp.zeros(max_depth + 1, jnp.int32),
         jnp.zeros(L, jnp.int32),
     )
+
+
+def _f(col):
+    """Geometry column: f32 bits riding in the int32 table."""
+    return jax.lax.bitcast_convert_type(col, jnp.float32)
 
 
 def _box_hits(wrow, org, d, inv, tnear, best_t):
@@ -203,12 +215,12 @@ def _box_hits(wrow, org, d, inv, tnear, best_t):
     t_ins = []
     for k in range(16):
         b = k * 6
-        t0x = (wrow[:, b + 0] - org.x) * inv.x
-        t1x = (wrow[:, b + 3] - org.x) * inv.x
-        t0y = (wrow[:, b + 1] - org.y) * inv.y
-        t1y = (wrow[:, b + 4] - org.y) * inv.y
-        t0z = (wrow[:, b + 2] - org.z) * inv.z
-        t1z = (wrow[:, b + 5] - org.z) * inv.z
+        t0x = (_f(wrow[:, b + 0]) - org.x) * inv.x
+        t1x = (_f(wrow[:, b + 3]) - org.x) * inv.x
+        t0y = (_f(wrow[:, b + 1]) - org.y) * inv.y
+        t1y = (_f(wrow[:, b + 4]) - org.y) * inv.y
+        t0z = (_f(wrow[:, b + 2]) - org.z) * inv.z
+        t1z = (_f(wrow[:, b + 5]) - org.z) * inv.z
         t_in = jnp.maximum(
             jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
             jnp.maximum(jnp.minimum(t0z, t1z), tnear),
@@ -217,7 +229,7 @@ def _box_hits(wrow, org, d, inv, tnear, best_t):
             jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
             jnp.minimum(jnp.maximum(t0z, t1z), best_t),
         )
-        ref_k = jax.lax.bitcast_convert_type(wrow[:, 96 + k], jnp.int32)
+        ref_k = wrow[:, 96 + k]
         ok = (t_in <= t_out) & (ref_k != _EMPTY)
         bits = bits | jnp.where(ok, jnp.int32(1 << k), 0)
         t_ins.append(jnp.where(ok, t_in, jnp.asarray(jnp.inf, REAL)))
@@ -236,10 +248,10 @@ def _leaf_tests(lrow, L, org, d, tnear, state, is_leaf, n_tris):
     gnx, gny, gnz = state["gnx"], state["gny"], state["gnz"]
     for j in range(L):
         b = j * 9
-        v0 = V3(lrow[:, b + 0], lrow[:, b + 1], lrow[:, b + 2])
-        e1 = V3(lrow[:, b + 3], lrow[:, b + 4], lrow[:, b + 5])
-        e2 = V3(lrow[:, b + 6], lrow[:, b + 7], lrow[:, b + 8])
-        prim = jax.lax.bitcast_convert_type(lrow[:, 9 * L + j], jnp.int32)
+        v0 = V3(_f(lrow[:, b + 0]), _f(lrow[:, b + 1]), _f(lrow[:, b + 2]))
+        e1 = V3(_f(lrow[:, b + 3]), _f(lrow[:, b + 4]), _f(lrow[:, b + 5]))
+        e2 = V3(_f(lrow[:, b + 6]), _f(lrow[:, b + 7]), _f(lrow[:, b + 8]))
+        prim = lrow[:, 9 * L + j]
         pvec = soa.cross(d, e2)
         det = soa.dot(e1, pvec)
         inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
@@ -289,19 +301,9 @@ def _leaf_tests(lrow, L, org, d, tnear, state, is_leaf, n_tris):
                  gnx=gnx, gny=gny, gnz=gnz)
 
 
-def _traverse(sup: Super16, org: V3, d: V3, tnear, tfar, any_hit,
-              n_tris=None, count_steps=False):
+def _make_step(sup: Super16, org: V3, d: V3, inv: V3, tnear, any_hit,
+               n_tris, count_steps, stack_n, L):
     n = org.x.shape[0]
-    L = int(sup.leaf_dummy.shape[0])
-    stack_n = int(sup.depth_dummy.shape[0])
-    inv = V3(
-        1.0 / jnp.where(d.x == 0, 1e-20, d.x),
-        1.0 / jnp.where(d.y == 0, 1e-20, d.y),
-        1.0 / jnp.where(d.z == 0, 1e-20, d.z),
-    )
-    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
-    tfar0 = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
-    zero = jnp.zeros(n, REAL)
 
     def step(s):
         cur = s["cur"]
@@ -334,8 +336,8 @@ def _traverse(sup: Super16, org: V3, d: V3, tnear, tfar, any_hit,
         chosen = chosen & (-chosen)  # break ties to lowest bit
         child_ref = jnp.full(n, jnp.int32(_EMPTY), INT)
         for k in range(16):
-            ref_k = jax.lax.bitcast_convert_type(row[:, 96 + k], jnp.int32)
-            child_ref = jnp.where(chosen == (1 << k), ref_k, child_ref)
+            child_ref = jnp.where(chosen == (1 << k), row[:, 96 + k],
+                                  child_ref)
         rest = eff ^ chosen
 
         descend = is_super & (eff != 0)
@@ -374,6 +376,41 @@ def _traverse(sup: Super16, org: V3, d: V3, tnear, tfar, any_hit,
             s["steps"] = s["steps"] + jnp.where(done, 0, 1)
         return s
 
+    return step
+
+
+def _init_state(n, tfar0, zero, stack_n, count_steps):
+    state = dict(
+        iter=jnp.asarray(0, INT),
+        cur=jnp.zeros(n, INT),
+        pend=jnp.zeros(n, INT),
+        sp=jnp.zeros(n, INT),
+        stack=tuple(jnp.zeros(n, jnp.uint32) for _ in range(stack_n)),
+        t=tfar0,
+        prim=jnp.full(n, -1, INT),
+        u=zero, v=zero, gnx=zero, gny=zero, gnz=jnp.ones(n, REAL),
+    )
+    if count_steps:
+        state["steps"] = jnp.zeros(n, INT)
+    return state
+
+
+def _traverse(sup: Super16, org: V3, d: V3, tnear, tfar, any_hit,
+              n_tris=None, count_steps=False):
+    n = org.x.shape[0]
+    L = int(sup.leaf_dummy.shape[0])
+    stack_n = int(sup.depth_dummy.shape[0])
+    inv = V3(
+        1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+        1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+        1.0 / jnp.where(d.z == 0, 1e-20, d.z),
+    )
+    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
+    tfar0 = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+    zero = jnp.zeros(n, REAL)
+    step = _make_step(sup, org, d, inv, tnear, any_hit, n_tris,
+                      count_steps, stack_n, L)
+
     # Hard iteration ceiling: a correct traversal never exceeds
     # rows-visited ~ O(table rows), and a bounded loop can't wedge the
     # device if a degenerate scene (NaN bounds etc.) slips through.
@@ -389,18 +426,7 @@ def _traverse(sup: Super16, org: V3, d: V3, tnear, tfar, any_hit,
         s["iter"] = s["iter"] + _UNROLL
         return s
 
-    state = dict(
-        iter=jnp.asarray(0, INT),
-        cur=jnp.zeros(n, INT),
-        pend=jnp.zeros(n, INT),
-        sp=jnp.zeros(n, INT),
-        stack=tuple(jnp.zeros(n, jnp.uint32) for _ in range(stack_n)),
-        t=tfar0,
-        prim=jnp.full(n, -1, INT),
-        u=zero, v=zero, gnx=zero, gny=zero, gnz=jnp.ones(n, REAL),
-    )
-    if count_steps:
-        state["steps"] = jnp.zeros(n, INT)
+    state = _init_state(n, tfar0, zero, stack_n, count_steps)
     out = jax.lax.while_loop(cond, body, state)
     return out
 
