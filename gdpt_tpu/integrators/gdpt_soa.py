@@ -145,6 +145,7 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
         params = msoa.gather_params_soa(
             sc.mat_tables, used, base_v.material_id, base_v.uv_u, base_v.uv_v,
             static.spec_image_slots,
+            float_tex_slots=static.float_tex_slots,
         )
         throughput = s["contrib"] * (1.0 / jnp.maximum(s["prob"], 1e-30))
 
@@ -216,6 +217,7 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             o_params = msoa.gather_params_soa(
                 sc.mat_tables, used, ov.material_id, ov.uv_u, ov.uv_v,
                 static.spec_image_slots,
+                float_tex_slots=static.float_tex_slots,
             )
             o_view = -1.0 * off["d"]
             o_diffuse = _is_lambertian(sc, static, ov.material_id)

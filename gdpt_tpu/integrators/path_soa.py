@@ -556,6 +556,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         params = msoa.gather_params_soa(
             sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
             static.spec_image_slots,
+            float_tex_slots=static.float_tex_slots,
         )
         rays = s["rays"]
 

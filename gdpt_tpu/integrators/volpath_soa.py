@@ -445,6 +445,7 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
         params = msoa.gather_params_soa(
             sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
             static.spec_image_slots,
+            float_tex_slots=static.float_tex_slots,
         )
         if static.n_lights > 0:
             nee_s = nee_vol(b, v.position, -1.0 * s["d"], s["medium"],

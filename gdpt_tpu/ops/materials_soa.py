@@ -57,8 +57,13 @@ class MaterialTablesSoA(NamedTuple):
     spec_c1: tuple        # 3 x V3
     spec_uv: tuple        # 3 x (uscale, vscale, uoffset, voffset)
     spec_img: tuple       # 3 x (m,) pool image ids
-    float_const: tuple    # 11 x (m,)
+    float_const: tuple    # 11 x (m,) const value / checker color0
+    float_kind: tuple     # 11 x (m,) texture kinds
+    float_c1: tuple       # 11 x (m,) checker color1
+    float_uv: tuple       # 11 x (uscale, vscale, uoffset, voffset)
+    float_img: tuple      # 11 x (m,) pool-1 image ids
     pool3: object         # textures_soa.Pool3SoA
+    pool1: object         # textures_soa.Pool1SoA
 
 
 _FLOAT_SLOTS = [
@@ -81,22 +86,26 @@ def build_material_tables(scene_device) -> MaterialTablesSoA:
         spec_c1.append(soa.from_rows(d.value2))
         spec_uv.append((d.uscale, d.vscale, d.uoffset, d.voffset))
         spec_img.append(d.img_id)
-    float_const = tuple(getattr(mt, s).value[:, 0] for s in _FLOAT_SLOTS)
+    float_const, float_kind, float_c1, float_uv, float_img = [], [], [], [], []
+    for s in _FLOAT_SLOTS:
+        d: tex.TexDesc = getattr(mt, s)
+        float_const.append(d.value[:, 0])
+        float_kind.append(d.kind)
+        float_c1.append(d.value2[:, 0])
+        float_uv.append((d.uscale, d.vscale, d.uoffset, d.voffset))
+        float_img.append(d.img_id)
     return MaterialTablesSoA(
         mt.kind, mt.eta, tuple(spec_kind), tuple(spec_c0), tuple(spec_c1),
-        tuple(spec_uv), tuple(spec_img), float_const,
-        tsoa.pool3_soa(scene_device.pool3),
+        tuple(spec_uv), tuple(spec_img), tuple(float_const),
+        tuple(float_kind), tuple(float_c1), tuple(float_uv),
+        tuple(float_img), tsoa.pool3_soa(scene_device.pool3),
+        tsoa.pool1_soa(scene_device.pool1),
     )
 
 
 def supports_soa_materials(scene) -> bool:
-    """Spectrum slots: const/checker/image; float slots: const only."""
-    import numpy as np
-
-    mt = scene.device.materials
-    for s in _FLOAT_SLOTS:
-        if (np.asarray(getattr(mt, s).kind) != tex.TEX_CONST).any():
-            return False
+    """The SoA stack covers the full texture envelope (const/checker/
+    image for spectrum and float slots alike); kept for API stability."""
     return True
 
 
@@ -125,9 +134,36 @@ def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v,
     return out
 
 
+def _eval_float_slot(tables: MaterialTablesSoA, i, mid, uv_u, uv_v,
+                     slot_mode: int):
+    """slot_mode: static OR of 1 (any checker) | 2 (any image); texture
+    branches compile in only when a material in the scene uses them."""
+    from gdpt_tpu.ops import textures_soa as tsoa
+
+    c0 = soa.take(tables.float_const[i], mid)
+    if not slot_mode:
+        return c0
+    kind = soa.take(tables.float_kind[i], mid)
+    us, vs, uo, vo = tables.float_uv[i]
+    lu = jnp.mod(uv_u * soa.take(us, mid) + soa.take(uo, mid), 1.0)
+    lv = jnp.mod(uv_v * soa.take(vs, mid) + soa.take(vo, mid), 1.0)
+    out = c0
+    if slot_mode & 1:
+        c1 = soa.take(tables.float_c1[i], mid)
+        cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
+        cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
+        checker = jnp.where(cx * cy == 1, c0, c1)
+        out = jnp.where(kind == tex.TEX_CHECKER, checker, out)
+    if slot_mode & 2:
+        img = tsoa.bilinear_level0_f(
+            tables.pool1, soa.take(tables.float_img[i], mid), lu, lv)
+        out = jnp.where(kind == tex.TEX_IMAGE, img, out)
+    return out
+
+
 def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
-                      uv_u, uv_v, spec_image_slots=(False, False, False)
-                      ) -> MatParamsSoA:
+                      uv_u, uv_v, spec_image_slots=(False, False, False),
+                      float_tex_slots=None) -> MatParamsSoA:
     from gdpt_tpu.ops.materials import _SLOT_USERS
 
     mid = jnp.maximum(material_id, 0)
@@ -146,7 +182,9 @@ def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
 
     def flt(slot):
         if used & _SLOT_USERS[slot]:
-            return soa.take(tables.float_const[_FLOAT_SLOTS.index(slot)], mid)
+            i = _FLOAT_SLOTS.index(slot)
+            mode = float_tex_slots[i] if float_tex_slots else 0
+            return _eval_float_slot(tables, i, mid, uv_u, uv_v, mode)
         return zero
 
     return MatParamsSoA(

@@ -38,6 +38,45 @@ def pool3_soa(pool) -> Pool3SoA:
     )
 
 
+class Pool1SoA(NamedTuple):
+    data: jnp.ndarray         # (n_pixels,) flat 1-channel pool
+    level_offset: jnp.ndarray
+    level_w: jnp.ndarray
+    level_h: jnp.ndarray
+    n_levels: jnp.ndarray
+
+
+def pool1_soa(pool) -> Pool1SoA:
+    return Pool1SoA(
+        jnp.asarray(pool.data[:, 0]),
+        pool.level_offset, pool.level_w, pool.level_h, pool.n_levels,
+    )
+
+
+def bilinear_level0_f(pool: Pool1SoA, img_id, u, v):
+    """1-channel twin of bilinear_level0 (float texture slots:
+    roughness/metallic/... maps, reference src/texture.h Texture<Real>)."""
+    w = soa.take(pool.level_w[:, 0], img_id)
+    h = soa.take(pool.level_h[:, 0], img_id)
+    off = soa.take(pool.level_offset[:, 0], img_id)
+    x = u * w.astype(REAL) - 0.5
+    y = v * h.astype(REAL) - 0.5
+    x0 = jnp.floor(x).astype(INT)
+    y0 = jnp.floor(y).astype(INT)
+    fx = x - x0.astype(REAL)
+    fy = y - y0.astype(REAL)
+    x0m = jnp.mod(x0, w)
+    y0m = jnp.mod(y0, h)
+    x1m = jnp.mod(x0 + 1, w)
+    y1m = jnp.mod(y0 + 1, h)
+    p00 = soa.take(pool.data, off + y0m * w + x0m)
+    p01 = soa.take(pool.data, off + y1m * w + x0m)
+    p10 = soa.take(pool.data, off + y0m * w + x1m)
+    p11 = soa.take(pool.data, off + y1m * w + x1m)
+    return (p00 * ((1 - fx) * (1 - fy)) + p10 * (fx * (1 - fy))
+            + p01 * ((1 - fx) * fy) + p11 * (fx * fy))
+
+
 def bilinear_level0(pool: Pool3SoA, img_id, u, v) -> V3:
     """Bilinear tap at mip level 0 (reference: src/mipmap.h:50-72
     pixel-center convention)."""

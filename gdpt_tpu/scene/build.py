@@ -134,6 +134,7 @@ class SceneStatic:
     envmap_light_id: int
     envmap_is_image: bool
     spec_image_slots: tuple  # per (refl, spec_refl, spec_trans): any image tex
+    float_tex_slots: tuple   # per float slot: 1 = any checker, 2 = any image
     filter_kind: int
     filter_param: float
     camera_medium_id: int
@@ -600,6 +601,15 @@ def build_scene(
         spec_image_slots=tuple(
             bool((np.asarray(getattr(mat_table, s).kind) == tex.TEX_IMAGE).any())
             for s in ("refl", "spec_refl", "spec_trans")
+        ),
+        float_tex_slots=tuple(
+            int((np.asarray(getattr(mat_table, s).kind) == tex.TEX_CHECKER).any())
+            | 2 * int((np.asarray(getattr(mat_table, s).kind) == tex.TEX_IMAGE).any())
+            for s in (
+                "roughness", "anisotropic", "subsurface", "metallic",
+                "specular", "specular_tint", "sheen", "sheen_tint",
+                "clearcoat", "clearcoat_gloss", "specular_transmission",
+            )
         ),
         filter_kind=camera.filter_kind,
         filter_param=camera.filter_param,

@@ -1,0 +1,85 @@
+"""Packet traversal kernel (accel/packet_trace) vs brute force.
+
+Runs the Pallas kernel in interpret mode on the CPU test mesh; the
+hardware path shares the exact same kernel body.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gdpt_tpu.accel import bvh as gbvh
+from gdpt_tpu.accel import packet_trace as pt
+from gdpt_tpu.core.soa import V3
+
+from test_super16 import _soup, _brute, _rays, _v3
+
+
+def _table(v0, v1, v2, **kw):
+    e1, e2 = v1 - v0, v2 - v0
+    arr = gbvh.build_bvh(v0, v1, v2, **kw)
+    return pt.build_packet_table(
+        arr.bbox_min, arr.bbox_max, arr.first, arr.count, arr.miss,
+        arr.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32)), e1, e2
+
+
+def test_packet_matches_brute_force():
+    v0, v1, v2 = _soup(1500)
+    tab, e1, e2 = _table(v0, v1, v2)
+    assert tab is not None
+    org, d = _rays(1024)
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    bt, bp = _brute(v0, e1, e2, org, d)
+    prim = np.asarray(prim)
+    assert (prim == bp).mean() == 1.0
+    good = bp >= 0
+    assert good.mean() > 0.15
+    np.testing.assert_allclose(np.asarray(t)[good], bt[good],
+                               rtol=1e-3, atol=1e-4)
+    occ = np.asarray(pt.occluded_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
+    assert (occ == (bp >= 0)).all()
+
+
+def test_packet_sphere_slots():
+    v0, v1, v2 = _soup(200, seed=3)
+    e1, e2 = v1 - v0, v2 - v0
+    arr = gbvh.build_bvh(v0, v1, v2)
+    # one sphere appended past the triangle range, as scene builds do
+    sc = np.array([[0.0, 0.0, 20.0]], np.float32)
+    sr = np.array([2.0], np.float32)
+    arr2 = gbvh.build_bvh(v0, v1, v2, sph_center=sc, sph_radius=sr)
+    tab = pt.build_packet_table(
+        arr2.bbox_min, arr2.bbox_max, arr2.first, arr2.count, arr2.miss,
+        arr2.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32), sph_center=sc, sph_radius=sr)
+    assert tab is not None
+    # rays straight at the sphere from above the soup
+    nr = 256
+    org = np.tile(np.array([[0.0, 0.0, 40.0]], np.float32), (nr, 1))
+    org[:, 0] = np.linspace(-1.5, 1.5, nr)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (nr, 1))
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, n_tris=200, interpret=True)
+    prim = np.asarray(prim)
+    t = np.asarray(t)
+    inside = np.abs(org[:, 0]) < 1.99
+    assert (prim[inside] == 200).all()
+    np.testing.assert_allclose(
+        t[inside], 20.0 - np.sqrt(4.0 - org[inside, 0] ** 2), rtol=1e-4)
+
+
+def test_packet_padding_lanes_dead():
+    # n not a multiple of 1024 exercises the padded tail
+    v0, v1, v2 = _soup(300, seed=5)
+    tab, e1, e2 = _table(v0, v1, v2)
+    org, d = _rays(777, seed=6)
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    bt, bp = _brute(v0, e1, e2, org, d)
+    assert (np.asarray(prim) == bp).mean() == 1.0
+    occ = np.asarray(pt.occluded_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
+    assert (occ == (bp >= 0)).all()

@@ -346,3 +346,38 @@ def test_sharded_gdpt_and_volpath_run():
                                 max_depth=4, hetero=True)
     img = sharding.render_volpath_soa_sharded(scv, mesh, spp=2)
     assert img.shape == (16, 16, 3) and np.isfinite(img).all()
+
+
+def test_soa_float_texture_matches_aos():
+    """Image-textured roughness (float slot) through the SoA fast path
+    vs per-ray (reference capability: src/texture.h Texture<Real>)."""
+    from gdpt_tpu.scene import model as M
+
+    rng = np.random.RandomState(7)
+    rtex = (0.1 + 0.7 * rng.rand(8, 8, 1).astype(np.float32))
+    env = np.full((8, 16, 3), 0.6, np.float32)
+    mat = M.DisneyMetal(base_color=np.array([0.8, 0.6, 0.4]),
+                        roughness=M.ImageTexture(rtex))
+    sc = _img_env_scene(env, mat=mat, spp=64)
+    assert sc.static.float_tex_slots[0] & 2
+    assert path_soa.supports_soa(sc)
+    a = path_soa.render_soa(sc, seed=3)
+    b = R.render_samples(sc, path_aos.trace_path, spp=64, seed=4)
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
+
+
+def test_soa_checker_float_texture_matches_aos():
+    from gdpt_tpu.scene import model as M
+
+    env = np.full((8, 16, 3), 0.6, np.float32)
+    mat = M.DisneyMetal(
+        base_color=np.array([0.8, 0.6, 0.4]),
+        roughness=M.CheckerboardTexture(0.1, 0.8, uscale=3.0, vscale=3.0),
+    )
+    sc = _img_env_scene(env, mat=mat, spp=64)
+    assert sc.static.float_tex_slots[0] & 1
+    a = path_soa.render_soa(sc, seed=3)
+    b = R.render_samples(sc, path_aos.trace_path, spp=64, seed=4)
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
