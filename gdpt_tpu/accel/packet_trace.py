@@ -106,10 +106,10 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     pend = pstart[np.minimum(miss, n_nodes)]
     cnt_sub = pend - pstart[:-1]
 
-    # Fat-leaf roots: maximal subtrees with <= FAT_CAP prims. The cap
-    # trades supernode count against wasted leaf tests; 4 rows/leaf
-    # keeps chains short while collapsing most of the tree.
-    FAT_CAP = 4 * LEAF_TRIS
+    # Fat-leaf roots: maximal subtrees with <= LEAF_TRIS prims — one
+    # row per leaf, so the kernel needs no dynamic chain loop (a wedge
+    # hazard on hardware) and every stack entry is a single row visit.
+    FAT_CAP = LEAF_TRIS
     fat_of = {}
     fat_ranges = []
     i = 0
@@ -225,7 +225,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     )
 
 
-def _make_kernel(stack_n, n_tris, any_hit, ceiling):
+def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
     def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf,
                t_o, prim_o, u_o, v_o, gx_o, gy_o, gz_o,
                wscr, stk, spr):
@@ -262,8 +262,23 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling):
             wscr[...] = w
             return wscr[0, 0]
 
-        def visit_super(node):
-            row_i = tab_ref[node, :]
+        R = n_rows
+
+        def body(carry):
+            it, sp_c = carry
+            sp = sp_c - 1
+            node = stk[sp]
+            is_super = node >= 0
+            # Row index is clamped for BOTH interpretations: an
+            # out-of-range VMEM access can wedge the device, so no
+            # data-dependent index ever leaves [0, R).
+            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+            lrow = jnp.clip(
+                jnp.where(is_super, 0, ~node) & ((1 << _CHAIN_SHIFT) - 1),
+                0, R - 1)
+
+            # --- supernode interpretation (masked by is_super) ---
+            row_i = tab_ref[srow, :]
             rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
             best = t_o[...]
             bits = jnp.zeros((P, 128), jnp.int32)
@@ -284,28 +299,31 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling):
                                 jnp.maximum(t0y, t1y)),
                     jnp.minimum(jnp.maximum(t0z, t1z), best))
                 bits = bits | jnp.where(t_in <= t_out, jnp.int32(1 << k), 0)
-            mask = or_scalar(bits) & tab_ref[node, 120]
-            sp = spr[0]
+            # Leaf rows have 0 in the validity column, so mask is 0 and
+            # the pushes below are no-ops for them; the explicit gate
+            # keeps that invariant independent of table padding.
+            mask = or_scalar(bits) & tab_ref[srow, 120]
+            mask = jnp.where(is_super, mask, 0)
+            sp2 = sp
             for k in range(16):
-                ref_k = tab_ref[node, 96 + k]
-                stk[jnp.minimum(sp, stack_n - 1)] = ref_k
-                sp = sp + ((mask >> k) & 1)
-            # A full stack drops pushes rather than writing out of
-            # bounds (a correct build never gets here; see stack_n).
-            spr[0] = jnp.minimum(sp, stack_n - 1)
+                ref_k = tab_ref[srow, 96 + k]
+                stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
+                sp2 = sp2 + ((mask >> k) & 1)
+            sp2 = jnp.minimum(sp2, stack_n - 1)
 
-        def tri_rows(row_i):
-            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            # --- leaf interpretation (hits masked by ~is_super) ---
+            lrow_i = tab_ref[lrow, :]
+            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
             best_t = t_o[...]
             prim_b = prim_o[...]
             u_b, v_b = u_o[...], v_o[...]
             gx, gy, gz = gx_o[...], gy_o[...], gz_o[...]
             for j in range(LEAF_TRIS):
                 b = j * 9
-                v0 = V3(rowf[b + 0], rowf[b + 1], rowf[b + 2])
-                e1 = V3(rowf[b + 3], rowf[b + 4], rowf[b + 5])
-                e2 = V3(rowf[b + 6], rowf[b + 7], rowf[b + 8])
-                pid = row_i[108 + j]
+                v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
+                e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
+                e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
+                pid = lrow_i[108 + j]
                 pvec = soa.cross(d, e2)
                 det = soa.dot(e1, pvec)
                 inv_det = jnp.where(
@@ -316,7 +334,8 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling):
                 vv = soa.dot(d, qvec) * inv_det
                 tt = soa.dot(e2, qvec) * inv_det
                 hit = ((det != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
-                       & (tt >= tnear) & (tt < best_t) & (pid >= 0))
+                       & (tt >= tnear) & (tt < best_t) & (pid >= 0)
+                       & (~is_super))
                 gn = soa.cross(e1, e2)
                 if n_tris is not None:
                     is_sph = pid >= n_tris
@@ -334,7 +353,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling):
                     use_hi = (s1 >= tnear) & (s1 < best_t)
                     ts = jnp.where(use_lo, s0, s1)
                     hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
-                          & (pid >= 0))
+                          & (pid >= 0) & (~is_super))
                     gns = (org + d * ts) - v0
                     tt = jnp.where(is_sph, ts, tt)
                     hit = jnp.where(is_sph, hs, hit)
@@ -358,37 +377,11 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling):
             gy_o[...] = gy
             gz_o[...] = gz
 
-        def visit_leaf(node):
-            lref = ~node
-            start = lref & ((1 << _CHAIN_SHIFT) - 1)
-            nrows = lref >> _CHAIN_SHIFT
-
-            def chain(i, _):
-                tri_rows(tab_ref[start + i, :])
-                return 0
-
-            jax.lax.fori_loop(0, nrows, chain, 0)
             if any_hit:
-                pending = jnp.where(prim_o[...] < 0, jnp.int32(1), 0)
-                spr[0] = jnp.where(or_scalar(pending) == 0, 0, spr[0])
+                pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
+                sp2 = jnp.where(or_scalar(pending) == 0, 0, sp2)
 
-        def body(carry):
-            it, sp_c = carry
-            sp = sp_c - 1
-            node = stk[sp]
-            spr[0] = sp
-
-            @pl.when(node >= 0)
-            def _():
-                visit_super(node)
-
-            @pl.when(node < 0)
-            def _():
-                visit_leaf(node)
-
-            # sp rides the loop carry: the loop condition must not
-            # depend on an SMEM cell the body mutates.
-            return it + 1, spr[0]
+            return it + 1, sp2
 
         jax.lax.while_loop(
             lambda c: (c[1] > 0) & (c[0] < ceiling), body,
@@ -412,7 +405,7 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
     grid = (M // P,)
     ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
-    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling)
+    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32)
                  for _ in range(6)]
     out_shape.insert(1, jax.ShapeDtypeStruct((M, 128), jnp.int32))

@@ -1,0 +1,167 @@
+"""External ground-truth validation vs the reference's committed EXRs.
+
+The reference ships comparison renders (the fork's own experiment
+artifacts) that our framework must reproduce at equal spp:
+
+- /root/reference/cbox_gdpt/cb_{1,4,16}.exr       cbox_old.xml, path
+- /root/reference/gdpt_renders/new_c_500.exr      cbox_old.xml, path,
+                                                  500 spp (converged)
+- /root/reference/gdpt_renders/tmp_gdpt_{a}.exr   cbox_old.xml, gradpath
+                                                  recon, alpha sweep
+                                                  (src/render.cpp:353)
+- /root/reference/gdpt_renders/sponza_regular_path_trace/sp_{n}.exr
+- /root/reference/gdpt_renders/sponza_grad_path_trace/s_gp_{n}.exr
+
+(The cbox_path/cb_*.exr set renders scenes/cbox/cbox.xml, whose mesh
+'Doom combat scene.obj' is absent from the reference tree — verified
+unreproducible; cbox_gdpt/'s set is the cbox_old.xml pair. The shipped
+build/lajolla binary is foreign-arch and Embree headers/libs are absent,
+so a local rebuild is impossible — committed artifacts are the ground
+truth, as anticipated in VERDICT.md.)
+
+Noise model: two independent n-spp renders A, B of the same scene
+satisfy E[MSE(A,B)] = var_A/n + var_B/n, so we report, per config:
+  rmse_equal  — RMSE(ours_n, ref_n), expected ~sqrt(2)*noise(n)
+  rmse_conv   — RMSE(ours_high, ref_n), expected ~noise(n): if our
+                estimator were biased, this would NOT drop below the
+                reference's own noise floor.
+
+Writes VALIDATION.json and VALIDATION.md at the repo root.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+
+import numpy as np
+
+REF = "/root/reference"
+OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "VALIDATION.json")
+OUT_MD = OUT_JSON.replace(".json", ".md")
+
+
+def rmse(a, b):
+    return float(np.sqrt(np.mean((a - b) ** 2)))
+
+
+def rel_mse(a, b):
+    denom = np.mean(b, axis=-1, keepdims=True) ** 2 + 1e-2
+    return float(np.mean((a - b) ** 2 / denom))
+
+
+def metrics(ours, ref):
+    return {
+        "rmse": round(rmse(ours, ref), 5),
+        "rel_mse": round(rel_mse(ours, ref), 5),
+        "mean_ours": round(float(ours.mean()), 5),
+        "mean_ref": round(float(ref.mean()), 5),
+        "mean_ratio": round(float(ours.mean() / max(ref.mean(), 1e-9)), 4),
+    }
+
+
+def _with_options(scene, **kw):
+    import dataclasses
+
+    opts = dataclasses.replace(scene.static.options, **kw)
+    return scene._replace(static=scene.static._replace(options=opts))
+
+
+def main():
+    from gdpt_tpu.core.image import imread
+    from gdpt_tpu.integrators import render as R
+    from gdpt_tpu.scene import parser
+
+    def render_scene(scene, spp_override=None, seed=0, alpha_override=None,
+                     integrator_override=None):
+        kw = {}
+        if alpha_override is not None:
+            kw["gdpt_alpha"] = alpha_override
+        if integrator_override is not None:
+            kw["integrator"] = integrator_override
+        if kw:
+            scene = _with_options(scene, **kw)
+        return R.render(scene, spp=spp_override, seed=seed)
+
+    results = {}
+    t_all = time.time()
+
+    # ---- cbox_old path at equal spp --------------------------------
+    scene, _ = parser.parse_scene(f"{REF}/scenes/cbox/cbox_old.xml")
+    ref_500 = imread(f"{REF}/gdpt_renders/new_c_500.exr")
+    ours = {}
+    for spp in (1, 4, 16, 512):
+        t0 = time.time()
+        img = np.asarray(render_scene(scene, spp_override=spp, seed=7))
+        ours[spp] = img
+        print(f"cbox path {spp} spp: {time.time()-t0:.1f}s "
+              f"mean {img.mean():.5f}", flush=True)
+    for spp in (1, 4, 16):
+        ref = imread(f"{REF}/cbox_gdpt/cb_{spp}.exr")
+        m = metrics(ours[spp], ref)
+        m["rmse_conv"] = round(rmse(ours[512], ref), 5)
+        results[f"cbox_path_{spp}spp"] = m
+    results["cbox_path_converged"] = metrics(ours[512], ref_500)
+
+    # ---- cbox GDPT recon, alpha sweep ------------------------------
+    sc_gdpt, _ = parser.parse_scene(f"{REF}/scenes/cbox/cbox_gdpt.xml")
+    for alpha in (0.04, 0.4, 4.0, 40.0):
+        ref = imread(f"{REF}/gdpt_renders/tmp_gdpt_{alpha:g}.exr")
+        t0 = time.time()
+        img = np.asarray(render_scene(
+            sc_gdpt, spp_override=64, seed=11, alpha_override=alpha))
+        print(f"cbox gdpt a={alpha:g}: {time.time()-t0:.1f}s "
+              f"mean {img.mean():.5f}", flush=True)
+        results[f"cbox_gdpt_alpha{alpha:g}"] = metrics(img, ref)
+
+    # ---- sponza path at equal spp ----------------------------------
+    sp, _ = parser.parse_scene(f"{REF}/scenes/sponza/sponza.xml")
+    ours_sp = {}
+    for spp in (1, 4, 16):
+        t0 = time.time()
+        img = np.asarray(render_scene(sp, spp_override=spp, seed=3,
+                                      integrator_override="path"))
+        ours_sp[spp] = img
+        print(f"sponza path {spp} spp: {time.time()-t0:.1f}s "
+              f"mean {img.mean():.5f}", flush=True)
+    for spp in (1, 4, 16):
+        ref = imread(
+            f"{REF}/gdpt_renders/sponza_regular_path_trace/sp_{spp}.exr")
+        if ref.shape != ours_sp[spp].shape:
+            results[f"sponza_path_{spp}spp"] = {
+                "skip": f"shape {ref.shape} vs {ours_sp[spp].shape}"}
+            continue
+        m = metrics(ours_sp[spp], ref)
+        m["rmse_conv"] = round(rmse(ours_sp[16], ref), 5)
+        results[f"sponza_path_{spp}spp"] = m
+
+    results["_wall_s"] = round(time.time() - t_all, 1)
+    with open(OUT_JSON, "w") as f:
+        json.dump(results, f, indent=1)
+
+    lines = ["# VALIDATION — RMSE vs reference committed artifacts\n",
+             "See tools/validate.py for the noise model; rmse_conv is our",
+             "high-spp render vs the reference's n-spp artifact and should",
+             "approach the reference's own noise floor (unbiasedness).\n",
+             "| config | rmse | rel_mse | rmse_conv | mean ours | mean ref | ratio |",
+             "|---|---|---|---|---|---|---|"]
+    for k, m in results.items():
+        if k.startswith("_"):
+            continue
+        if "skip" in m:
+            lines.append(f"| {k} | skipped: {m['skip']} |||||")
+            continue
+        lines.append(
+            f"| {k} | {m['rmse']} | {m['rel_mse']} | {m.get('rmse_conv','—')}"
+            f" | {m['mean_ours']} | {m['mean_ref']} | {m['mean_ratio']} |")
+    with open(OUT_MD, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
