@@ -356,7 +356,8 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                           & (pid >= 0) & (~is_super))
                     gns = (org + d * ts) - v0
                     tt = jnp.where(is_sph, ts, tt)
-                    hit = jnp.where(is_sph, hs, hit)
+                    # No select on i1 vectors (Mosaic can't legalize it)
+                    hit = (is_sph & hs) | (~is_sph & hit)
                     uu = jnp.where(is_sph, 0.0, uu)
                     vv = jnp.where(is_sph, 0.0, vv)
                     gn = V3(jnp.where(is_sph, gns.x, gn.x),
@@ -432,12 +433,14 @@ def _pack(v, M):
 
 
 def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                     n_tris=None, any_hit=False, interpret=False):
+                     n_tris=None, any_hit=False, interpret=None):
     """Flat-ray entry: (t, prim, u, v, gn V3) over n rays.
 
     Pads the ray list to whole packets; padding lanes get tfar < tnear
     so they can neither hit nor (in any_hit mode) keep packets alive.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     n = org.x.shape[0]
     P = PACKET_ROWS
     M = -(-n // (P * 128)) * P
@@ -458,13 +461,13 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
 
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                     n_tris=None, interpret=False):
+                     n_tris=None, interpret=None):
     return trace_packet_soa(tab, org, d, tnear, tfar, n_tris=n_tris,
                             any_hit=False, interpret=interpret)
 
 
 def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                    n_tris=None, interpret=False):
+                    n_tris=None, interpret=None):
     t, prim, _, _, _ = trace_packet_soa(
         tab, org, d, tnear, tfar, n_tris=n_tris, any_hit=True,
         interpret=interpret)

@@ -38,14 +38,9 @@ class GeomSoA(NamedTuple):
     #   is_leaf (bitcast), then 4 x (v0, e1, e2) inline leaf triangles and
     #   4 prim ids (bitcast) — one row gather per traversal step.
     bvh_nodes48: jnp.ndarray = None
-    # 8-wide collapsed tree (stack-based traversal; ~3x fewer
-    # latency-bound steps than the binary miss-link walk):
-    # wide_rows (n_wide, 56): 8 x bbox (48: min.xyz, max.xyz interleaved
-    #   per child) + 8 child refs (bitcast i32: >=0 wide id, <0 ~leaf id,
-    #   0x7fffffff empty). leaf rows live in bvh_leaf40 (n_leaves, 40).
-    bvh_wide_rows: jnp.ndarray = None
-    bvh_leaf40: jnp.ndarray = None
-    bvh_wide_depth: jnp.ndarray = None  # (max_depth + 1,) dummy; shape only
+    # Packet-traversal table (Pallas kernel, VMEM-resident; None when
+    # the scene exceeds the residency cap or the backend is not TPU).
+    packet: object = None
 
 
 _LEAF_W = 4  # prims per packed leaf row (== bvh build leaf size)
@@ -101,25 +96,31 @@ def _pack_bvh(geom):
     return jnp.asarray(nodes48)
 
 
-_WIDE_MIN_TRIS = 4096  # collapse cost only pays off for big scenes
 
 
-def _use_wide():
-    # The 8-wide stack traversal is 2-2.7x faster than the binary walk in
-    # isolation, but currently degrades ~7x when nested inside the bounce
-    # loop (XLA stages the stack state through host memory). Off by
-    # default until that interaction is solved; GDPT_WIDE_BVH=1 opts in.
+def _use_packet():
     import os
 
-    return os.environ.get("GDPT_WIDE_BVH", "0") == "1"
+    flag = os.environ.get("GDPT_PACKET", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def geom_soa_from_aos(geom) -> GeomSoA:
     nodes48 = _pack_bvh(geom)
-    wide_rows = leaf40 = wide_depth = None
-    if (nodes48 is not None and geom.tri_v0.shape[0] >= _WIDE_MIN_TRIS
-            and _use_wide()):
-        wide_rows, leaf40, wide_depth = _collapse_wide(geom)
+    packet = None
+    n_prims = geom.tri_v0.shape[0] + geom.sph_center.shape[0]
+    if n_prims > 128 and _use_packet():
+        from gdpt_tpu.accel import packet_trace
+
+        packet = packet_trace.build_packet_table(
+            geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
+            geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2,
+            geom.sph_center, geom.sph_radius)
     return GeomSoA(
         soa.from_rows(geom.tri_v0),
         soa.from_rows(geom.tri_e1),
@@ -139,9 +140,7 @@ def geom_soa_from_aos(geom) -> GeomSoA:
         geom.bvh_miss,
         geom.bvh_prim_order,
         nodes48,
-        wide_rows,
-        leaf40,
-        wide_depth,
+        packet,
     )
 
 
@@ -465,9 +464,7 @@ def intersect_bvh_packed(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
 
 def occluded_bvh_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
-    if g.bvh_wide_rows is not None:
-        hit, _ = intersect_bvh_wide(static, g, org, d, tnear, tfar)
-    elif g.bvh_nodes48 is not None:
+    if g.bvh_nodes48 is not None:
         hit, _ = intersect_bvh_packed(static, g, org, d, tnear, tfar)
     else:
         hit = intersect_bvh_soa(static, g, org, d, tnear, tfar)
@@ -494,8 +491,13 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
             return pli.intersect_brute_pallas(static, g, org, d, tnear, tfar)
         return intersect_brute_soa(static, g, org, d, tnear, tfar), None
-    if g.bvh_wide_rows is not None:
-        return intersect_bvh_wide(static, g, org, d, tnear, tfar)
+    if g.packet is not None:
+        from gdpt_tpu.accel import packet_trace
+
+        t, prim, u, v, gn = packet_trace.intersect_packet(
+            g.packet, org, d, tnear, tfar,
+            n_tris=static.n_tris if static.n_spheres else None)
+        return HitSoA(t, prim, u, v), gn
     if g.bvh_nodes48 is not None:
         return intersect_bvh_packed(static, g, org, d, tnear, tfar)
     return intersect_bvh_soa(static, g, org, d, tnear, tfar), None
@@ -512,252 +514,12 @@ def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
             return pli.occluded_brute_pallas(static, g, org, d, tnear, tfar)
         return occluded_brute_soa(static, g, org, d, tnear, tfar)
+    if g.packet is not None:
+        from gdpt_tpu.accel import packet_trace
+
+        return packet_trace.occluded_packet(
+            g.packet, org, d, tnear, tfar,
+            n_tris=static.n_tris if static.n_spheres else None)
     return occluded_bvh_soa(static, g, org, d, tnear, tfar)
 
 
-def _collapse_wide(geom):
-    """Host-side collapse of the binary miss-link BVH into an 8-wide tree
-    plus a packed leaf-triangle table (reference capability: Embree's
-    BVH8; layout designed for one row gather per traversal step)."""
-    import numpy as np
-
-    n_nodes = geom.bvh_count.shape[0]
-    n_tris = geom.tri_v0.shape[0]
-    if n_nodes == 0:
-        return None, None, None
-    order = np.asarray(geom.bvh_prim_order)
-    if order.size and order.max(initial=0) >= n_tris:
-        return None, None, None
-    count = np.asarray(geom.bvh_count)
-    first = np.asarray(geom.bvh_first)
-    miss = np.asarray(geom.bvh_miss).astype(np.int64)
-    bmin = np.asarray(geom.bvh_bbox_min, np.float32)
-    bmax = np.asarray(geom.bvh_bbox_max, np.float32)
-    is_leaf_b = count > 0
-
-    # Binary leaves -> dense leaf ids + packed 4-tri rows.
-    leaf_ids = np.cumsum(is_leaf_b) - 1
-    n_leaves = int(is_leaf_b.sum())
-    lf = first[is_leaf_b][:, None]
-    lc = count[is_leaf_b][:, None]
-    j = np.arange(4)[None, :]
-    valid = j < lc
-    slots = np.clip(lf + j, 0, max(order.size - 1, 0))
-    prim = np.where(valid, order[slots] if order.size else 0, -1).astype(np.int32)
-    pv = np.clip(prim, 0, max(n_tris - 1, 0))
-    v0 = np.where((~valid)[..., None], 0.0, np.asarray(geom.tri_v0, np.float32)[pv])
-    e1 = np.where((~valid)[..., None], 0.0, np.asarray(geom.tri_e1, np.float32)[pv])
-    e2 = np.where((~valid)[..., None], 0.0, np.asarray(geom.tri_e2, np.float32)[pv])
-    tri36 = np.concatenate([v0, e1, e2], axis=2).reshape(n_leaves, 36)
-    leaf40 = np.concatenate([tri36, prim.view(np.float32)], axis=1).astype(np.float32)
-
-    # Children of inner binary node i: left = i + 1, right = miss[i + 1].
-    def children2(b):
-        left = b + 1
-        right = int(miss[left])
-        return [left, right]
-
-    # Safe expansion: split while the frontier stays <= 8.
-    def expand_safe(b):
-        frontier = [b]
-        while True:
-            best = None
-            for idx, x in enumerate(frontier):
-                if not is_leaf_b[x]:
-                    best = idx
-                    break
-            if best is None or len(frontier) >= 8:
-                break
-            x = frontier.pop(best)
-            frontier[best:best] = children2(x)
-        return frontier
-
-    EMPTY = np.int32(0x7FFFFFFF)
-    wide_of_binary = {}
-    queue = [(0, 1)]
-    order_q = []
-    kids = []
-    max_depth = 1
-    while queue:
-        b, depth = queue.pop()
-        if b in wide_of_binary:
-            continue
-        wide_of_binary[b] = len(order_q)
-        order_q.append(b)
-        max_depth = max(max_depth, depth)
-        ch = expand_safe(b)
-        kids.append(ch)
-        for c in ch:
-            if not is_leaf_b[c]:
-                queue.append((c, depth + 1))
-    n_wide = len(order_q)
-    wide_rows = np.zeros((n_wide, 56), np.float32)
-    for wi, b in enumerate(order_q):
-        ch = kids[wi]
-        refs = np.full(8, EMPTY, np.int32)
-        for k, c in enumerate(ch):
-            wide_rows[wi, k * 6 + 0 : k * 6 + 3] = bmin[c]
-            wide_rows[wi, k * 6 + 3 : k * 6 + 6] = bmax[c]
-            if is_leaf_b[c]:
-                refs[k] = np.int32(~np.int32(leaf_ids[c]))
-            else:
-                refs[k] = np.int32(wide_of_binary[c])
-        wide_rows[wi, 48:56] = refs.view(np.float32)
-    # The per-lane traversal stack needs at most (tree depth) entries (one
-    # pending-mask entry per ancestor); sized via a dummy array's shape so
-    # it stays static under jit.
-    depth_dummy = jnp.zeros(max_depth + 1, jnp.int32)
-    return jnp.asarray(wide_rows), jnp.asarray(leaf40), depth_dummy
-
-
-_WIDE_DONE = jnp.int32(0x7FFFFFFE)
-
-
-def intersect_bvh_wide(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
-    """8-wide stack-based traversal. Per step: one (N, 56) wide-node row
-    gather + one (N, 40) leaf row gather (independent -> overlapped DMA),
-    8 bbox tests or 4 triangle tests, and an O(stack) select-based
-    push/pop. ~3x fewer sequential steps than the binary miss-link walk
-    (the walk is gather-latency bound, so steps == time).
-    Returns (HitSoA, unnormalized geometric normal)."""
-    n = org.x.shape[0]
-    n_wide = g.bvh_wide_rows.shape[0]
-    stack_n = g.bvh_wide_depth.shape[0]
-    inv = V3(
-        1.0 / jnp.where(d.x == 0, 1e-20, d.x),
-        1.0 / jnp.where(d.y == 0, 1e-20, d.y),
-        1.0 / jnp.where(d.z == 0, 1e-20, d.z),
-    )
-    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
-    tfar0 = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
-    zero = jnp.zeros(n, REAL)
-    EMPTY = jnp.int32(0x7FFFFFFF)
-
-    def step(s):
-        cur = s["cur"]
-        mask_in = s["mask"]
-        done = cur == _WIDE_DONE
-        is_wide = (cur >= 0) & ~done
-        is_lf = cur < 0
-
-        # ---- wide-node stage ----
-        wrow = jnp.take(g.bvh_wide_rows, jnp.where(is_wide, cur, 0), axis=0,
-                        mode="clip")
-        hit_bits = jnp.zeros(n, INT)
-        for k in range(8):
-            b = k * 6
-            t0x = (wrow[:, b + 0] - org.x) * inv.x
-            t1x = (wrow[:, b + 3] - org.x) * inv.x
-            t0y = (wrow[:, b + 1] - org.y) * inv.y
-            t1y = (wrow[:, b + 4] - org.y) * inv.y
-            t0z = (wrow[:, b + 2] - org.z) * inv.z
-            t1z = (wrow[:, b + 5] - org.z) * inv.z
-            t_in = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.maximum(jnp.minimum(t0z, t1z), tnear),
-            )
-            t_out = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.minimum(jnp.maximum(t0z, t1z), s["t"]),
-            )
-            ref_k = jax.lax.bitcast_convert_type(wrow[:, 48 + k], jnp.int32)
-            ok = (t_in <= t_out) & (ref_k != EMPTY)
-            hit_bits = hit_bits | jnp.where(ok, jnp.int32(1 << k), 0)
-        # resume: pending mask from the stack overrides fresh bbox tests
-        mask = jnp.where(mask_in != 0, mask_in, hit_bits)
-
-        # ---- leaf stage (overlaps the wide gather) ----
-        lrow = jnp.take(g.bvh_leaf40, jnp.where(is_lf, ~cur, 0), axis=0,
-                        mode="clip")
-        best_t = s["t"]
-        best_prim = s["prim"]
-        best_u, best_v = s["u"], s["v"]
-        gnx, gny, gnz = s["gnx"], s["gny"], s["gnz"]
-        for jj in range(4):
-            b = jj * 9
-            v0 = V3(lrow[:, b + 0], lrow[:, b + 1], lrow[:, b + 2])
-            e1 = V3(lrow[:, b + 3], lrow[:, b + 4], lrow[:, b + 5])
-            e2 = V3(lrow[:, b + 6], lrow[:, b + 7], lrow[:, b + 8])
-            prim = jax.lax.bitcast_convert_type(lrow[:, 36 + jj], jnp.int32)
-            pvec = soa.cross(d, e2)
-            det = soa.dot(e1, pvec)
-            inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
-            tvec = org - v0
-            u = soa.dot(tvec, pvec) * inv_det
-            qvec = soa.cross(tvec, e1)
-            v = soa.dot(d, qvec) * inv_det
-            t = soa.dot(e2, qvec) * inv_det
-            hit = (
-                (det != 0) & (u >= 0) & (v >= 0) & (u + v <= 1)
-                & (t >= tnear) & (t < best_t) & (prim >= 0) & is_lf
-            )
-            gn = soa.cross(e1, e2)
-            best_prim = jnp.where(hit, prim, best_prim)
-            best_u = jnp.where(hit, u, best_u)
-            best_v = jnp.where(hit, v, best_v)
-            gnx = jnp.where(hit, gn.x, gnx)
-            gny = jnp.where(hit, gn.y, gny)
-            gnz = jnp.where(hit, gn.z, gnz)
-            best_t = jnp.where(hit, t, best_t)
-
-        # ---- control: descend / push / pop ----
-        low = mask & (-mask)  # lowest set bit
-        # child index of the lowest set bit (8-way select)
-        child_ref = jnp.full(n, EMPTY, INT)
-        for k in range(8):
-            ref_k = jax.lax.bitcast_convert_type(wrow[:, 48 + k], jnp.int32)
-            child_ref = jnp.where(low == (1 << k), ref_k, child_ref)
-        rest = mask ^ low
-        descend = is_wide & (mask != 0)
-        do_push = descend & (rest != 0)
-        # pop needed for: wide with empty mask, or leaf lanes
-        do_pop = (~done) & (~descend)
-
-        sp = s["sp"]
-        stack = list(s["stack"])
-        # push (cur << 8 | rest) at sp
-        pushed = (cur.astype(jnp.uint32) << 8) | rest.astype(jnp.uint32)
-        for i in range(stack_n):
-            stack[i] = jnp.where(do_push & (sp == i), pushed, stack[i])
-        sp = sp + jnp.where(do_push, 1, 0)
-        # pop from sp-1
-        popped = jnp.zeros(n, jnp.uint32)
-        for i in range(stack_n):
-            popped = jnp.where(do_pop & (sp - 1 == i), stack[i], popped)
-        can_pop = do_pop & (sp > 0)
-        sp = sp - jnp.where(can_pop, 1, 0)
-        pop_node = (popped >> 8).astype(INT)
-        pop_mask = (popped & 0xFF).astype(INT)
-
-        new_cur = jnp.where(
-            descend, child_ref,
-            jnp.where(can_pop, pop_node, jnp.where(done, cur, _WIDE_DONE)),
-        )
-        new_mask = jnp.where(descend, 0, jnp.where(can_pop, pop_mask, 0))
-        return dict(
-            cur=new_cur, mask=new_mask, sp=sp, stack=tuple(stack),
-            t=best_t, prim=best_prim, u=best_u, v=best_v,
-            gnx=gnx, gny=gny, gnz=gnz,
-        )
-
-    def cond(s):
-        return jnp.any(s["cur"] != _WIDE_DONE)
-
-    def body(s):
-        s = step(s)
-        return step(s)
-
-    state = dict(
-        cur=jnp.zeros(n, INT),
-        mask=jnp.zeros(n, INT),
-        sp=jnp.zeros(n, INT),
-        stack=tuple(jnp.zeros(n, jnp.uint32) for _ in range(stack_n)),
-        t=tfar0,
-        prim=jnp.full(n, -1, INT),
-        u=zero, v=zero, gnx=zero, gny=zero, gnz=jnp.ones(n, REAL),
-    )
-    out = jax.lax.while_loop(cond, body, state)
-    return (
-        HitSoA(out["t"], out["prim"], out["u"], out["v"]),
-        V3(out["gnx"], out["gny"], out["gnz"]),
-    )

@@ -123,43 +123,3 @@ def test_sphere_roots():
     np.testing.assert_allclose(float(hit2.t), 1.0, atol=1e-5)
 
 
-def test_wide_bvh_matches_brute():
-    """8-wide collapsed traversal (gated behind GDPT_WIDE_BVH) agrees with
-    brute force on a forced-BVH cornell box."""
-    import jax.numpy as jnp
-
-    from gdpt_tpu.accel import bvh as gbvh
-    from gdpt_tpu.accel import traverse_soa as trs
-    from gdpt_tpu.core import soa
-    from gdpt_tpu.core.dtypes import BIG
-    from gdpt_tpu.scene import presets
-
-    sc = presets.cornell_box(width=8, height=8, spp=1)
-    g = sc.device.geom
-    b = gbvh.build_bvh(
-        np.asarray(g.tri_v0), np.asarray(g.tri_v0 + g.tri_e1),
-        np.asarray(g.tri_v0 + g.tri_e2),
-    )
-    g2 = g._replace(
-        bvh_bbox_min=jnp.asarray(b.bbox_min), bvh_bbox_max=jnp.asarray(b.bbox_max),
-        bvh_first=jnp.asarray(b.first), bvh_count=jnp.asarray(b.count),
-        bvh_miss=jnp.asarray(b.miss), bvh_prim_order=jnp.asarray(b.prim_order),
-    )
-    wide_rows, leaf40, depth = trs._collapse_wide(g2)
-    gs = trs.geom_soa_from_aos(g2)._replace(
-        bvh_wide_rows=wide_rows, bvh_leaf40=leaf40, bvh_wide_depth=depth
-    )
-    rng = np.random.RandomState(1)
-    n = 2000
-    org = rng.rand(n, 3) * 500
-    d = rng.randn(n, 3)
-    d /= np.linalg.norm(d, axis=1, keepdims=True)
-    orgv = soa.V3(*[jnp.asarray(org[:, i], jnp.float32) for i in range(3)])
-    dv = soa.V3(*[jnp.asarray(d[:, i], jnp.float32) for i in range(3)])
-    h_w, _ = trs.intersect_bvh_wide(sc.static, gs, orgv, dv, 1e-3, BIG)
-    h_b = trs.intersect_brute_soa(sc.static, gs, orgv, dv, 1e-3, BIG)
-    np.testing.assert_array_equal(np.asarray(h_w.prim_id), np.asarray(h_b.prim_id))
-    valid = np.asarray(h_b.prim_id) >= 0
-    np.testing.assert_allclose(
-        np.asarray(h_w.t)[valid], np.asarray(h_b.t)[valid], rtol=1e-4
-    )
