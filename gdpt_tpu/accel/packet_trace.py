@@ -264,20 +264,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
 
         R = n_rows
 
-        def body(carry):
-            it, sp_c = carry
-            sp = sp_c - 1
-            node = stk[sp]
-            is_super = node >= 0
-            # Row index is clamped for BOTH interpretations: an
-            # out-of-range VMEM access can wedge the device, so no
-            # data-dependent index ever leaves [0, R).
-            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
-            lrow = jnp.clip(
-                jnp.where(is_super, 0, ~node) & ((1 << _CHAIN_SHIFT) - 1),
-                0, R - 1)
-
-            # --- supernode interpretation (masked by is_super) ---
+        def visit_super(srow, sp):
             row_i = tab_ref[srow, :]
             rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
             best = t_o[...]
@@ -299,19 +286,17 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                                 jnp.maximum(t0y, t1y)),
                     jnp.minimum(jnp.maximum(t0z, t1z), best))
                 bits = bits | jnp.where(t_in <= t_out, jnp.int32(1 << k), 0)
-            # Leaf rows have 0 in the validity column, so mask is 0 and
-            # the pushes below are no-ops for them; the explicit gate
-            # keeps that invariant independent of table padding.
             mask = or_scalar(bits) & tab_ref[srow, 120]
-            mask = jnp.where(is_super, mask, 0)
             sp2 = sp
             for k in range(16):
                 ref_k = tab_ref[srow, 96 + k]
                 stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
                 sp2 = sp2 + ((mask >> k) & 1)
-            sp2 = jnp.minimum(sp2, stack_n - 1)
+            # A full stack drops pushes rather than writing out of
+            # bounds (a correct build never gets here; see stack_n).
+            spr[0] = jnp.minimum(sp2, stack_n - 1)
 
-            # --- leaf interpretation (hits masked by ~is_super) ---
+        def visit_leaf(lrow):
             lrow_i = tab_ref[lrow, :]
             lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
             best_t = t_o[...]
@@ -334,8 +319,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                 vv = soa.dot(d, qvec) * inv_det
                 tt = soa.dot(e2, qvec) * inv_det
                 hit = ((det != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
-                       & (tt >= tnear) & (tt < best_t) & (pid >= 0)
-                       & (~is_super))
+                       & (tt >= tnear) & (tt < best_t) & (pid >= 0))
                 gn = soa.cross(e1, e2)
                 if n_tris is not None:
                     is_sph = pid >= n_tris
@@ -353,7 +337,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                     use_hi = (s1 >= tnear) & (s1 < best_t)
                     ts = jnp.where(use_lo, s0, s1)
                     hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
-                          & (pid >= 0) & (~is_super))
+                          & (pid >= 0))
                     gns = (org + d * ts) - v0
                     tt = jnp.where(is_sph, ts, tt)
                     # No select on i1 vectors (Mosaic can't legalize it)
@@ -379,10 +363,35 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
             gz_o[...] = gz
 
             if any_hit:
+                # Whole packet done once every live lane has a hit.
                 pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
-                sp2 = jnp.where(or_scalar(pending) == 0, 0, sp2)
+                spr[0] = jnp.where(or_scalar(pending) == 0, 0, spr[0])
 
-            return it + 1, sp2
+        def body(carry):
+            it, sp_c = carry
+            sp = sp_c - 1
+            node = stk[sp]
+            is_super = node >= 0
+            # Row index is clamped for BOTH interpretations: an
+            # out-of-range VMEM access can wedge the device, so no
+            # data-dependent index ever leaves [0, R).
+            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+            lrow = jnp.clip(
+                jnp.where(is_super, 0, ~node) & ((1 << _CHAIN_SHIFT) - 1),
+                0, R - 1)
+            # sp rides SMEM across the branch bodies (pl.when returns
+            # nothing); the loop carry re-reads it after both.
+            spr[0] = sp
+
+            @pl.when(is_super)
+            def _():
+                visit_super(srow, sp)
+
+            @pl.when(jnp.logical_not(is_super))
+            def _():
+                visit_leaf(lrow)
+
+            return it + 1, spr[0]
 
         jax.lax.while_loop(
             lambda c: (c[1] > 0) & (c[0] < ceiling), body,
@@ -444,8 +453,24 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     n = org.x.shape[0]
     P = PACKET_ROWS
     M = -(-n // (P * 128)) * P
+    # Scrub non-finite inputs: integrators legitimately pass masked-off
+    # lanes with garbage origins/directions, and non-finite values must
+    # never steer the in-kernel scalar control flow. A lane with any
+    # non-finite ray datum becomes a dead lane (tfar < tnear).
     tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
     tfar = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+    fin = (jnp.isfinite(org.x) & jnp.isfinite(org.y) & jnp.isfinite(org.z)
+           & jnp.isfinite(d.x) & jnp.isfinite(d.y) & jnp.isfinite(d.z)
+           & jnp.isfinite(tnear))
+
+    def _fin(v, alt):
+        return jnp.where(jnp.isfinite(v), v, jnp.asarray(alt, v.dtype))
+
+    org = V3(_fin(org.x, 0.0), _fin(org.y, 0.0), _fin(org.z, 0.0))
+    d = V3(_fin(d.x, 1.0), _fin(d.y, 0.0), _fin(d.z, 0.0))
+    tnear = _fin(tnear, 0.0)
+    tfar = jnp.where(fin, jnp.clip(_fin(tfar, 3e37), -1.0, 3e37), -1.0)
+    alive = tfar >= tnear
     args = [_pack(v, M) for v in
             (org.x, org.y, org.z, d.x, d.y, d.z, tnear)]
     # Padding tfar = -1 < tnear(=0 pad) marks dead lanes.
@@ -456,7 +481,10 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     def unflat(a):
         return a.reshape(-1)[:n]
 
-    return (unflat(t), unflat(prim), unflat(u), unflat(v),
+    # Dead lanes are marked "hit" in-kernel (any_hit early-exit); they
+    # are misses to the caller.
+    prim_out = jnp.where(alive, unflat(prim), -1)
+    return (unflat(t), prim_out, unflat(u), unflat(v),
             V3(unflat(gx), unflat(gy), unflat(gz)))
 
 

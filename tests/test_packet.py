@@ -83,3 +83,26 @@ def test_packet_padding_lanes_dead():
     occ = np.asarray(pt.occluded_packet(
         tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
     assert (occ == (bp >= 0)).all()
+
+
+def test_packet_scrubs_nonfinite_lanes():
+    """Masked-off integrator lanes carry NaN/Inf ray data; they must
+    come back as misses without disturbing live lanes."""
+    v0, v1, v2 = _soup(300, seed=8)
+    tab, e1, e2 = _table(v0, v1, v2)
+    org, d = _rays(512, seed=9)
+    orgb = org.copy(); db = d.copy()
+    bad = np.arange(512) % 3 == 0
+    orgb[bad] = np.nan
+    db[np.arange(512) % 5 == 0] = np.inf
+    poison = bad | (np.arange(512) % 5 == 0)
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(orgb), _v3(db), 1e-4, 1e9, interpret=True)
+    prim = np.asarray(prim)
+    assert (prim[poison] == -1).all()
+    bt, bp = _brute(v0, e1, e2, org, d)
+    assert (prim[~poison] == bp[~poison]).all()
+    occ = np.asarray(pt.occluded_packet(
+        tab, _v3(orgb), _v3(db), 1e-4, 1e9, interpret=True))
+    assert (occ[~poison] == (bp[~poison] >= 0)).all()
+    assert not occ[poison].any()

@@ -51,6 +51,16 @@ def _v3(a):
     return V3(*(jnp.asarray(a[:, i]) for i in range(3)))
 
 
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _fast_unroll(monkeypatch):
+    # Halve the while-body size: compile time dominates these tests and
+    # the loop logic is identical at any unroll factor.
+    monkeypatch.setattr(super16, "_UNROLL", 1)
+
+
 def test_super16_matches_brute_force():
     v0, v1, v2 = _soup(3000)
     e1, e2 = v1 - v0, v2 - v0
@@ -93,7 +103,7 @@ def test_super16_with_spheres():
         arr.prim_order, v0.astype(np.float32), e1.astype(np.float32),
         e2.astype(np.float32), sc, sr)
     assert sup is not None
-    org, d = _rays(2048, seed=5)
+    org, d = _rays(768, seed=5)
     isect = jax.jit(super16.intersect_super16, static_argnames=("n_tris",))
     t, prim, u, v, gn = isect(sup, _v3(org), _v3(d), 1e-4, 1e9, 500)
 
@@ -128,13 +138,14 @@ def test_super16_with_spheres():
 
 
 def test_super16_adapts_leaf_size():
-    # Tiny cap forces the adaptive leaf fattening path.
-    v0, v1, v2 = _soup(4000, seed=7)
+    # Tiny cap forces the adaptive leaf fattening path (the sizes keep
+    # the adapted L at 16: the compile cost scales with L).
+    v0, v1, v2 = _soup(2500, seed=7)
     e1, e2 = v1 - v0, v2 - v0
     arr = gbvh.build_bvh(v0, v1, v2)
     import gdpt_tpu.accel.super16 as s16
     old = s16.MAX_SUPER_ROWS
-    s16.MAX_SUPER_ROWS = 24
+    s16.MAX_SUPER_ROWS = 20
     try:
         sup = s16.build_super16(
             arr.bbox_min, arr.bbox_max, arr.first, arr.count, arr.miss,
@@ -143,8 +154,8 @@ def test_super16_adapts_leaf_size():
     finally:
         s16.MAX_SUPER_ROWS = old
     assert sup is not None
-    assert sup.table.shape[0] <= 24 + 4000
-    org, d = _rays(512, seed=9)
+    assert int(sup.leaf_dummy.shape[0]) > 12  # adaptation engaged
+    org, d = _rays(256, seed=9)
     t, prim, *_ = jax.jit(s16.intersect_super16)(
         sup, _v3(org), _v3(d), 1e-4, 1e9)
     bt, bp = _brute(v0, e1, e2, org, d)
