@@ -1,57 +1,99 @@
-"""Benchmark: Cornell box 512x512 path tracing throughput on one chip.
+"""Benchmark: the 5 BASELINE.md configs on one chip.
 
-Prints one JSON line: Mrays/sec/chip against the 200 Mrays/s baseline
-target (BASELINE.md). Ray counts are exact — the integrator counts every
-ray it casts (primary + shadow + scatter).
+Emits one JSON line per config as it completes, then a final headline
+line (the driver records the last line). Ray counts are exact — every
+integrator counts the rays it casts (primary + shadow + scatter).
 """
 
 import json
 import os
+
+_REF_ROOT = os.environ.get('GDPT_REFERENCE', '/root/reference')
+_SCENE_ROOT = os.environ.get('GDPT_SCENES', _REF_ROOT + '/scenes')
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
+SCENES = _SCENE_ROOT + ""
 
-def main():
+
+def _render(scene, spp, seed=0):
+    """Render with stats through the scene's own integrator."""
+    from gdpt_tpu.integrators import gdpt_soa, path_soa, volpath_soa
+
+    integ = scene.static.options.integrator
+    if integ == "volpath":
+        return volpath_soa.render_volpath_soa(
+            scene, spp=spp, seed=seed, return_stats=True)
+    if integ == "gradpath":
+        return gdpt_soa.render_gradpath_soa(
+            scene, spp=spp, seed=seed, return_stats=True)
+    return path_soa.render_soa(scene, spp=spp, seed=seed, return_stats=True)
+
+
+def bench_config(name, make_scene, spp):
     import jax
 
-    from gdpt_tpu.integrators import path_soa
-    from gdpt_tpu.scene import presets
-
-    width = height = 512
-    spp = 256
-    max_depth = 6
-    scene = presets.cornell_box(
-        width=width, height=height, spp=spp, max_depth=max_depth
-    )
-
-    # Warmup/compile pass with the exact sample-batch shape measured below.
-    img, _ = path_soa.render_soa(scene, spp=spp, seed=0, return_stats=True)
-
+    scene = make_scene()
+    _render(scene, spp=spp, seed=0)  # compile + warm
     t0 = time.perf_counter()
-    img, nrays = path_soa.render_soa(scene, spp=spp, seed=0, return_stats=True)
+    img, nrays = _render(scene, spp=spp, seed=0)
     dt = time.perf_counter() - t0
     mrays = nrays / dt / 1e6
-    spp_per_sec = spp / dt
+    row = {
+        "metric": f"{name}_Mrays_per_sec_per_chip",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "detail": {
+            "spp": spp,
+            "wall_s": round(dt, 3),
+            "spp_per_sec": round(spp / dt, 2),
+            "mean_radiance": round(float(img.mean()), 5),
+            "res": [scene.static.height, scene.static.width],
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(row), flush=True)
+    return name, mrays, row["detail"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "cbox_512_path_Mrays_per_sec_per_chip",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 200.0, 3),
-                "detail": {
-                    "spp_per_sec_512x512": round(spp_per_sec, 2),
-                    "wall_s": round(dt, 3),
-                    "spp": spp,
-                    "max_depth": max_depth,
-                    "mean_radiance": round(float(img.mean()), 5),
-                    "platform": jax.devices()[0].platform,
-                },
-            }
-        )
-    )
+
+def main():
+    from gdpt_tpu.scene import parser, presets
+
+    def xml(path):
+        def make():
+            scene, _ = parser.parse_scene(f"{SCENES}/{path}")
+            return scene
+        return make
+
+    configs = [
+        # (name, scene factory, spp)
+        ("cbox_512_path",
+         lambda: presets.cornell_box(width=512, height=512, spp=256,
+                                     max_depth=6), 256),
+        ("veach_mi", xml("veach_mi/mi.xml"), 64),
+        ("disney_bsdf", xml("disney_bsdf_test/disney_bsdf.xml"), 64),
+        ("volpath_test6", xml("volpath_test/volpath_test6.xml"), 16),
+        ("sponza_gradpath", xml("sponza/sponza.xml"), 4),
+    ]
+    results = {}
+    for name, make_scene, spp in configs:
+        try:
+            n, mrays, detail = bench_config(name, make_scene, spp)
+            results[n] = {"Mrays_per_sec": round(mrays, 2), **detail}
+        except Exception as e:  # one failing config must not kill the run
+            results[name] = {"error": str(e)[:200]}
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  flush=True)
+
+    headline = results.get("cbox_512_path", {}).get("Mrays_per_sec", 0.0)
+    print(json.dumps({
+        "metric": "cbox_512_path_Mrays_per_sec_per_chip",
+        "value": headline,
+        "unit": "Mrays/s",
+        "vs_baseline": round(headline / 200.0, 3),
+        "detail": results,
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -5,6 +5,9 @@ Scenes default to the full set. Writes EXR + PNG pairs into gallery/.
 """
 
 import os
+
+_REF_ROOT = os.environ.get('GDPT_REFERENCE', '/root/reference')
+_SCENE_ROOT = os.environ.get('GDPT_SCENES', _REF_ROOT + '/scenes')
 import sys
 import time
 
@@ -14,18 +17,18 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
 # (path, resolution, spp, max_depth or None to honor the scene file)
 SCENES = {
-    "cbox": ("/root/reference/scenes/cbox/cbox_old.xml", 512, 256, None),
-    "veach_mi": ("/root/reference/scenes/veach_mi/mi.xml", 512, 256, None),
+    "cbox": (_SCENE_ROOT + "/cbox/cbox_old.xml", 512, 256, None),
+    "veach_mi": (_SCENE_ROOT + "/veach_mi/mi.xml", 512, 256, None),
     # BVH-heavy scenes: latency-bound traversal, keep per-dispatch time
     # under the device watchdog (see README performance notes).
     "disney_array": (
-        "/root/reference/scenes/disney_bsdf_test/disney_bsdf_array.xml", 256, 64, 5
+        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", 256, 64, 5
     ),
-    "matpreview": ("/root/reference/scenes/matpreview/matpreview.xml", 256, 64, 5),
+    "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", 256, 64, 5),
     # sponza's scene file asks for gradpath; render the path version here
     # (the GDPT version is rendered separately at lower spp — 5 paths and
     # 10 traversals per bounce).
-    "sponza_path": ("/root/reference/scenes/sponza/sponza.xml", 128, 48, 5, "path"),
+    "sponza_path": (_SCENE_ROOT + "/sponza/sponza.xml", 128, 48, 5, "path"),
 }
 
 

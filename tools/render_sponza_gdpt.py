@@ -2,6 +2,9 @@
 gradient-domain pipeline on TPU, writing primal/recon/gradient images."""
 
 import os
+
+_REF_ROOT = os.environ.get('GDPT_REFERENCE', '/root/reference')
+_SCENE_ROOT = os.environ.get('GDPT_SCENES', _REF_ROOT + '/scenes')
 import sys
 import time
 
@@ -21,7 +24,7 @@ def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     sc, _ = parser.parse_scene(
-        "/root/reference/scenes/sponza/sponza.xml", width=res, height=res, spp=spp
+        _SCENE_ROOT + "/sponza/sponza.xml", width=res, height=res, spp=spp
     )
     st = dataclasses.replace(
         sc.static, options=dataclasses.replace(sc.static.options, max_depth=5)

@@ -31,6 +31,9 @@ Writes VALIDATION.json and VALIDATION.md at the repo root.
 
 import json
 import os
+
+_REF_ROOT = os.environ.get('GDPT_REFERENCE', '/root/reference')
+_SCENE_ROOT = os.environ.get('GDPT_SCENES', _REF_ROOT + '/scenes')
 import sys
 import time
 
@@ -39,7 +42,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
 import numpy as np
 
-REF = "/root/reference"
+REF = _REF_ROOT
 OUT_JSON = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "VALIDATION.json")
 OUT_MD = OUT_JSON.replace(".json", ".md")
