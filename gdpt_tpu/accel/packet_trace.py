@@ -52,7 +52,7 @@ _DEBUG_CEILING = 0  # test hook: hard iteration cap (0 = scene-derived)
 LEAF_TRIS = 12           # per leaf row: 12*9 geometry + 12 prim ids = 120
 _CHAIN_SHIFT = 22        # leaf ref: start | (n_rows << 22)
 MAX_TABLE_BYTES = 12 << 20   # VMEM residency cap (leave room for rays)
-PACKET_ROWS = 8          # rays per packet = PACKET_ROWS * 128
+PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays per packet = PACKET_ROWS * 128
 
 
 class PacketTable(NamedTuple):
@@ -227,30 +227,35 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     )
 
 
-def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
+INTERLEAVE = int(__import__("os").environ.get("GDPT_PACKET_IL", "1"))
+
+
+def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows, il):
+    """Kernel over il interleaved packets: il independent traversal
+    state machines advance in lockstep inside one while loop, so their
+    dependent scalar chains (row load -> mask readback -> pushes)
+    overlap instead of serializing. Finished packets skip their slot
+    via pl.when until the slowest of the il packets drains."""
+
     def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf,
                t_o, prim_o, u_o, v_o, gx_o, gy_o, gz_o,
                wscr, stk, spr):
         import jax.experimental.pallas as pl
 
         P = PACKET_ROWS
-        org = V3(ox[...], oy[...], oz[...])
-        d = V3(dx[...], dy[...], dz[...])
-        inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
-                 1.0 / jnp.where(d.y == 0, 1e-20, d.y),
-                 1.0 / jnp.where(d.z == 0, 1e-20, d.z))
-        tnear = tn[...]
+        R = n_rows
         t_o[...] = tf[...]
-        prim_o[...] = jnp.full((P, 128), -1, jnp.int32)
-        u_o[...] = jnp.zeros((P, 128), jnp.float32)
-        v_o[...] = jnp.zeros((P, 128), jnp.float32)
-        gx_o[...] = jnp.zeros((P, 128), jnp.float32)
-        gy_o[...] = jnp.zeros((P, 128), jnp.float32)
-        gz_o[...] = jnp.ones((P, 128), jnp.float32)
-        stk[0] = jnp.int32(0)
-        spr[0] = jnp.int32(1)
+        prim_o[...] = jnp.full((il * P, 128), -1, jnp.int32)
+        u_o[...] = jnp.zeros((il * P, 128), jnp.float32)
+        v_o[...] = jnp.zeros((il * P, 128), jnp.float32)
+        gx_o[...] = jnp.zeros((il * P, 128), jnp.float32)
+        gy_o[...] = jnp.zeros((il * P, 128), jnp.float32)
+        gz_o[...] = jnp.ones((il * P, 128), jnp.float32)
         if any_hit:
-            prim_o[...] = jnp.where(tnear > tf[...], 0, prim_o[...])
+            # Dead padding lanes (tf < tn) must not keep packets alive.
+            prim_o[...] = jnp.where(tn[...] > tf[...], 0, prim_o[...])
+        for p in range(il):
+            stk[p, 0] = jnp.int32(0)
 
         def or_scalar(w):
             from jax.experimental.pallas import tpu as pltpu
@@ -264,140 +269,164 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
             wscr[...] = w
             return wscr[0, 0]
 
-        R = n_rows
+        def make_slot(p):
+            sl = slice(p * P, (p + 1) * P)
+            org = V3(ox[sl, :], oy[sl, :], oz[sl, :])
+            d = V3(dx[sl, :], dy[sl, :], dz[sl, :])
+            inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+                     1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+                     1.0 / jnp.where(d.z == 0, 1e-20, d.z))
+            tnear = tn[sl, :]
 
-        def visit_super(srow, sp):
-            row_i = tab_ref[srow, :]
-            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
-            best = t_o[...]
-            bits = jnp.zeros((P, 128), jnp.int32)
-            for k in range(16):
-                b = k * 6
-                t0x = (rowf[b + 0] - org.x) * inv.x
-                t1x = (rowf[b + 3] - org.x) * inv.x
-                t0y = (rowf[b + 1] - org.y) * inv.y
-                t1y = (rowf[b + 4] - org.y) * inv.y
-                t0z = (rowf[b + 2] - org.z) * inv.z
-                t1z = (rowf[b + 5] - org.z) * inv.z
-                t_in = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t0x, t1x),
-                                jnp.minimum(t0y, t1y)),
-                    jnp.maximum(jnp.minimum(t0z, t1z), tnear))
-                t_out = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t0x, t1x),
-                                jnp.maximum(t0y, t1y)),
-                    jnp.minimum(jnp.maximum(t0z, t1z), best))
-                bits = bits | jnp.where(t_in <= t_out, jnp.int32(1 << k), 0)
-            mask = or_scalar(bits) & tab_ref[srow, 120]
-            sp2 = sp
-            for k in range(16):
-                ref_k = tab_ref[srow, 96 + k]
-                stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
-                sp2 = sp2 + ((mask >> k) & 1)
-            # A full stack drops pushes rather than writing out of
-            # bounds (a correct build never gets here; see stack_n).
-            spr[0] = jnp.minimum(sp2, stack_n - 1)
+            def visit_super(srow, sp):
+                row_i = tab_ref[srow, :]
+                rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+                best = t_o[sl, :]
+                bits = jnp.zeros((P, 128), jnp.int32)
+                for k in range(16):
+                    b = k * 6
+                    t0x = (rowf[b + 0] - org.x) * inv.x
+                    t1x = (rowf[b + 3] - org.x) * inv.x
+                    t0y = (rowf[b + 1] - org.y) * inv.y
+                    t1y = (rowf[b + 4] - org.y) * inv.y
+                    t0z = (rowf[b + 2] - org.z) * inv.z
+                    t1z = (rowf[b + 5] - org.z) * inv.z
+                    t_in = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+                    t_out = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best))
+                    bits = bits | jnp.where(t_in <= t_out,
+                                            jnp.int32(1 << k), 0)
+                mask = or_scalar(bits) & tab_ref[srow, 120]
+                sp2 = sp
+                for k in range(16):
+                    ref_k = tab_ref[srow, 96 + k]
+                    stk[p, jnp.minimum(sp2, stack_n - 1)] = ref_k
+                    sp2 = sp2 + ((mask >> k) & 1)
+                # A full stack drops pushes rather than writing out of
+                # bounds (a correct build never gets here; see stack_n).
+                spr[p] = jnp.minimum(sp2, stack_n - 1)
 
-        def visit_leaf(lrow):
-            lrow_i = tab_ref[lrow, :]
-            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
-            best_t = t_o[...]
-            prim_b = prim_o[...]
-            u_b, v_b = u_o[...], v_o[...]
-            gx, gy, gz = gx_o[...], gy_o[...], gz_o[...]
-            for j in range(LEAF_TRIS):
-                b = j * 9
-                v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
-                e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
-                e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
-                pid = lrow_i[108 + j]
-                pvec = soa.cross(d, e2)
-                det = soa.dot(e1, pvec)
-                inv_det = jnp.where(
-                    det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
-                tvec = org - v0
-                uu = soa.dot(tvec, pvec) * inv_det
-                qvec = soa.cross(tvec, e1)
-                vv = soa.dot(d, qvec) * inv_det
-                tt = soa.dot(e2, qvec) * inv_det
-                hit = ((det != 0) & (uu >= 0) & (vv >= 0) & (uu + vv <= 1)
-                       & (tt >= tnear) & (tt < best_t) & (pid >= 0))
-                gn = soa.cross(e1, e2)
-                if n_tris is not None:
-                    is_sph = pid >= n_tris
-                    sv = org - v0
-                    r = e1.x
-                    a2 = soa.dot(d, d)
-                    inv_a = 1.0 / jnp.where(a2 != 0, a2, 1.0)
-                    tm = -soa.dot(d, sv) * inv_a
-                    m = sv + d * tm
-                    disc = r * r - soa.dot(m, m)
-                    dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
-                    s0 = tm - dtq
-                    s1 = tm + dtq
-                    use_lo = (s0 >= tnear) & (s0 < best_t)
-                    use_hi = (s1 >= tnear) & (s1 < best_t)
-                    ts = jnp.where(use_lo, s0, s1)
-                    hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
-                          & (pid >= 0))
-                    gns = (org + d * ts) - v0
-                    tt = jnp.where(is_sph, ts, tt)
-                    # No select on i1 vectors (Mosaic can't legalize it)
-                    hit = (is_sph & hs) | (~is_sph & hit)
-                    uu = jnp.where(is_sph, 0.0, uu)
-                    vv = jnp.where(is_sph, 0.0, vv)
-                    gn = V3(jnp.where(is_sph, gns.x, gn.x),
-                            jnp.where(is_sph, gns.y, gn.y),
-                            jnp.where(is_sph, gns.z, gn.z))
-                prim_b = jnp.where(hit, pid, prim_b)
-                u_b = jnp.where(hit, uu, u_b)
-                v_b = jnp.where(hit, vv, v_b)
-                gx = jnp.where(hit, gn.x, gx)
-                gy = jnp.where(hit, gn.y, gy)
-                gz = jnp.where(hit, gn.z, gz)
-                best_t = jnp.where(hit, tt, best_t)
-            t_o[...] = best_t
-            prim_o[...] = prim_b
-            u_o[...] = u_b
-            v_o[...] = v_b
-            gx_o[...] = gx
-            gy_o[...] = gy
-            gz_o[...] = gz
+            def visit_leaf(lrow):
+                lrow_i = tab_ref[lrow, :]
+                lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+                best_t = t_o[sl, :]
+                prim_b = prim_o[sl, :]
+                u_b, v_b = u_o[sl, :], v_o[sl, :]
+                gx, gy, gz = gx_o[sl, :], gy_o[sl, :], gz_o[sl, :]
+                for j in range(LEAF_TRIS):
+                    b = j * 9
+                    v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
+                    e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
+                    e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
+                    pid = lrow_i[108 + j]
+                    pvec = soa.cross(d, e2)
+                    det = soa.dot(e1, pvec)
+                    inv_det = jnp.where(
+                        det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                    tvec = org - v0
+                    uu = soa.dot(tvec, pvec) * inv_det
+                    qvec = soa.cross(tvec, e1)
+                    vv = soa.dot(d, qvec) * inv_det
+                    tt = soa.dot(e2, qvec) * inv_det
+                    hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                           & (uu + vv <= 1) & (tt >= tnear)
+                           & (tt < best_t) & (pid >= 0))
+                    gn = soa.cross(e1, e2)
+                    if n_tris is not None:
+                        is_sph = pid >= n_tris
+                        sv = org - v0
+                        r = e1.x
+                        a2 = soa.dot(d, d)
+                        inv_a = 1.0 / jnp.where(a2 != 0, a2, 1.0)
+                        tm = -soa.dot(d, sv) * inv_a
+                        m = sv + d * tm
+                        disc = r * r - soa.dot(m, m)
+                        dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+                        s0 = tm - dtq
+                        s1 = tm + dtq
+                        use_lo = (s0 >= tnear) & (s0 < best_t)
+                        use_hi = (s1 >= tnear) & (s1 < best_t)
+                        ts = jnp.where(use_lo, s0, s1)
+                        hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
+                              & (pid >= 0))
+                        gns = (org + d * ts) - v0
+                        tt = jnp.where(is_sph, ts, tt)
+                        # No select on i1 vectors (Mosaic limitation)
+                        hit = (is_sph & hs) | (~is_sph & hit)
+                        uu = jnp.where(is_sph, 0.0, uu)
+                        vv = jnp.where(is_sph, 0.0, vv)
+                        gn = V3(jnp.where(is_sph, gns.x, gn.x),
+                                jnp.where(is_sph, gns.y, gn.y),
+                                jnp.where(is_sph, gns.z, gn.z))
+                    prim_b = jnp.where(hit, pid, prim_b)
+                    u_b = jnp.where(hit, uu, u_b)
+                    v_b = jnp.where(hit, vv, v_b)
+                    gx = jnp.where(hit, gn.x, gx)
+                    gy = jnp.where(hit, gn.y, gy)
+                    gz = jnp.where(hit, gn.z, gz)
+                    best_t = jnp.where(hit, tt, best_t)
+                t_o[sl, :] = best_t
+                prim_o[sl, :] = prim_b
+                u_o[sl, :] = u_b
+                v_o[sl, :] = v_b
+                gx_o[sl, :] = gx
+                gy_o[sl, :] = gy
+                gz_o[sl, :] = gz
+                if any_hit:
+                    # Packet done once every live lane has a hit.
+                    pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
+                    spr[p] = jnp.where(or_scalar(pending) == 0, 0, spr[p])
 
-            if any_hit:
-                # Whole packet done once every live lane has a hit.
-                pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
-                spr[0] = jnp.where(or_scalar(pending) == 0, 0, spr[0])
+            def step(sp_c):
+                """One visit for this slot; returns via spr[p]."""
+                sp = sp_c - 1
+                node = stk[p, sp]
+                is_super = node >= 0
+                # Clamped for BOTH interpretations: an out-of-range
+                # VMEM access can wedge the device.
+                srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+                lrow = jnp.clip(
+                    jnp.where(is_super, 0, ~node)
+                    & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+                spr[p] = sp
+
+                @pl.when(is_super)
+                def _():
+                    visit_super(srow, sp)
+
+                @pl.when(jnp.logical_not(is_super))
+                def _():
+                    visit_leaf(lrow)
+
+            return step
+
+        steps = [make_slot(p) for p in range(il)]
 
         def body(carry):
-            it, sp_c = carry
-            sp = sp_c - 1
-            node = stk[sp]
-            is_super = node >= 0
-            # Row index is clamped for BOTH interpretations: an
-            # out-of-range VMEM access can wedge the device, so no
-            # data-dependent index ever leaves [0, R).
-            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
-            lrow = jnp.clip(
-                jnp.where(is_super, 0, ~node) & ((1 << _CHAIN_SHIFT) - 1),
-                0, R - 1)
-            # sp rides SMEM across the branch bodies (pl.when returns
-            # nothing); the loop carry re-reads it after both.
-            spr[0] = sp
+            it = carry[0]
+            sps = carry[1:]
+            for p in range(il):
+                spr[p] = sps[p]
 
-            @pl.when(is_super)
-            def _():
-                visit_super(srow, sp)
+                @pl.when(sps[p] > 0)
+                def _(p=p):
+                    steps[p](sps[p])
 
-            @pl.when(jnp.logical_not(is_super))
-            def _():
-                visit_leaf(lrow)
+            return (it + 1,) + tuple(spr[p] for p in range(il))
 
-            return it + 1, spr[0]
+        def cond(carry):
+            alive = carry[1] > 0
+            for p in range(1, il):
+                alive = alive | (carry[1 + p] > 0)
+            return alive & (carry[0] < ceiling)
 
         jax.lax.while_loop(
-            lambda c: (c[1] > 0) & (c[0] < ceiling), body,
-            (jnp.int32(0), jnp.int32(1)))
+            cond, body, (jnp.int32(0),) + (jnp.int32(1),) * il)
 
     return kernel
 
@@ -412,12 +441,13 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
 
     M = ox.shape[0]
     P = PACKET_ROWS
+    il = INTERLEAVE
     R = int(tab.table.shape[0])
     stack_n = int(tab.stack_dummy.shape[0])
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
-    grid = (M // P,)
-    ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
-    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R)
+    grid = (M // (P * il),)
+    ray_spec = pl.BlockSpec((P * il, 128), lambda g: (g, 0))
+    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R, il)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32)
                  for _ in range(6)]
     out_shape.insert(1, jax.ShapeDtypeStruct((M, 128), jnp.int32))
@@ -429,8 +459,8 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((P, 128), jnp.int32),
-            pltpu.SMEM((stack_n,), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((il, stack_n), jnp.int32),
+            pltpu.SMEM((il,), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -483,7 +513,7 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = org.x.shape[0]
-    P = PACKET_ROWS
+    P = PACKET_ROWS * INTERLEAVE
     M = -(-n // (P * 128)) * P
     # Scrub non-finite inputs: integrators legitimately pass masked-off
     # lanes with garbage origins/directions, and non-finite values must
