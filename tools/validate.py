@@ -71,7 +71,7 @@ def _with_options(scene, **kw):
     import dataclasses
 
     opts = dataclasses.replace(scene.static.options, **kw)
-    return scene._replace(static=scene.static._replace(options=opts))
+    return scene._replace(static=dataclasses.replace(scene.static, options=opts))
 
 
 def main():
