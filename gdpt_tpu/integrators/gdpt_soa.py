@@ -168,8 +168,11 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
                                     base_v.gn, base_v.frame, used)
         pdf_base = msoa.pdf_bsdf_soa(params, dir_view, samp.dir_out,
                                      base_v.gn, base_v.frame, used)
+        # Inactive lanes become dead rays (tfar < tnear): traversal
+        # backends exit them immediately instead of tracing stale rays.
         nxt_hit, nxt_gn = trs.intersect_soa_gn(
-            static, sc.geom, base_v.position, samp.dir_out, eps_isect, BIG
+            static, sc.geom, base_v.position, samp.dir_out, eps_isect,
+            jnp.where(extend, BIG, -1.0)
         )
         nxt = ps.shade_hit(static, sc, base_v.position, samp.dir_out,
                            nxt_hit, nxt_gn)
@@ -229,7 +232,8 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             dist = jnp.maximum(soa.length(to_next), 1e-20)
             dir_rec = to_next * (1.0 / dist)
             probe_hit, _ = trs.intersect_soa_gn(
-                static, sc.geom, ov.position, dir_rec, eps_isect, BIG
+                static, sc.geom, ov.position, dir_rec, eps_isect,
+                jnp.where(extend & ovalid & can_reconnect, BIG, -1.0)
             )
             probe_ok = (probe_hit.prim_id >= 0) & (
                 probe_hit.prim_id == jnp.maximum(nxt_hit.prim_id, 0)
@@ -254,7 +258,8 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             pdf_rep = msoa.pdf_bsdf_soa(o_params, o_view, o_samp.dir_out,
                                         ov.gn, ov.frame, used)
             o_nxt_hit, o_nxt_gn = trs.intersect_soa_gn(
-                static, sc.geom, ov.position, o_samp.dir_out, eps_isect, BIG
+                static, sc.geom, ov.position, o_samp.dir_out, eps_isect,
+                jnp.where(extend & ovalid, BIG, -1.0)
             )
             o_nxt = ps.shade_hit(static, sc, ov.position, o_samp.dir_out,
                                  o_nxt_hit, o_nxt_gn)

@@ -435,6 +435,9 @@ def nee_soa(static, sc: SceneSoA, v: VertexSoA, params, dir_view: V3,
     dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
     dl = soa.where(is_env, -1.0 * n_l, dir_area)
     tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
+    # Inactive lanes become dead rays (tfar < tnear): the traversal
+    # backends exit them immediately instead of tracing stale rays.
+    tfar = jnp.where(active, tfar, -1.0)
     unoccluded = 1.0 - trs.occluded_soa(
         static, sc.geom, v.position, dl, eps_shadow, tfar
     ).astype(REAL)
@@ -587,7 +590,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         )
 
         nxt_hit, nxt_gn = trs.intersect_soa_gn(
-            static, sc.geom, v.position, d_out, eps_isect, BIG
+            static, sc.geom, v.position, d_out, eps_isect,
+            jnp.where(active, BIG, -1.0)
         )
         nxt = shade_hit(static, sc, v.position, d_out, nxt_hit, nxt_gn)
         nxt_ok = nxt.valid > 0

@@ -208,7 +208,8 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
             alive0 = s["alive"] > 0
             dist_left = soa.length(p_l - s["p"])
             sv_hit, sv_gn = trs.intersect_soa_gn(
-                static, sc.geom, s["p"], dir_light, eps, BIG
+                static, sc.geom, s["p"], dir_light, eps,
+                jnp.where(alive0, BIG, -1.0)
             )
             sv = ps.shade_hit(static, sc, s["p"], dir_light, sv_hit, sv_gn)
             in_range = sv_hit.t < (1.0 - eps) * dist_left
@@ -372,7 +373,11 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
     def body(s):
         b = s["iters"] + 1
         active = s["active"] > 0
-        hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, s["org"], s["d"], 0.0, BIG)
+        # Inactive lanes become dead rays (tfar < tnear): traversal
+        # backends exit them immediately instead of tracing stale rays.
+        hit, gn_raw = trs.intersect_soa_gn(
+            static, sc.geom, s["org"], s["d"], 0.0,
+            jnp.where(active, BIG, -1.0))
         v = ps.shade_hit(static, sc, s["org"], s["d"], hit, gn_raw)
         v_ok = v.valid > 0
         in_medium = s["medium"] >= 0
