@@ -41,6 +41,11 @@ class GeomSoA(NamedTuple):
     # Packet-traversal table (Pallas kernel, VMEM-resident; None when
     # the scene exceeds the residency cap or the backend is not TPU).
     packet: object = None
+    # super16 XLA fallback tables (TPU, big scenes): used when the
+    # packet kernel is unavailable or disabled for a call path (the
+    # GDPT megakernel's many traversal instances crash the worker with
+    # embedded Pallas calls; super16 is plain XLA).
+    sup16: object = None
 
 
 _LEAF_W = 4  # prims per packed leaf row (== bvh build leaf size)
@@ -109,18 +114,26 @@ def _use_packet():
     return jax.default_backend() == "tpu"
 
 
-def geom_soa_from_aos(geom) -> GeomSoA:
+def geom_soa_from_aos(geom, use_packet=True) -> GeomSoA:
     nodes48 = _pack_bvh(geom)
     packet = None
+    sup16 = None
     n_prims = geom.tri_v0.shape[0] + geom.sph_center.shape[0]
     if n_prims > 128 and _use_packet():
-        from gdpt_tpu.accel import packet_trace
+        from gdpt_tpu.accel import packet_trace, super16 as s16
 
-        packet = packet_trace.build_packet_table(
-            geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
-            geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
-            geom.tri_v0, geom.tri_e1, geom.tri_e2,
-            geom.sph_center, geom.sph_radius)
+        if use_packet:
+            packet = packet_trace.build_packet_table(
+                geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
+                geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2,
+                geom.sph_center, geom.sph_radius)
+        if packet is None:
+            sup16 = s16.build_super16(
+                geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
+                geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
+                geom.tri_v0, geom.tri_e1, geom.tri_e2,
+                geom.sph_center, geom.sph_radius)
     return GeomSoA(
         soa.from_rows(geom.tri_v0),
         soa.from_rows(geom.tri_e1),
@@ -141,6 +154,7 @@ def geom_soa_from_aos(geom) -> GeomSoA:
         geom.bvh_prim_order,
         nodes48,
         packet,
+        sup16,
     )
 
 
@@ -498,6 +512,13 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
             g.packet, org, d, tnear, tfar,
             n_tris=static.n_tris if static.n_spheres else None)
         return HitSoA(t, prim, u, v), gn
+    if g.sup16 is not None:
+        from gdpt_tpu.accel import super16 as s16
+
+        t, prim, u, v, gn = s16.intersect_super16(
+            g.sup16, org, d, tnear, tfar,
+            n_tris=static.n_tris if static.n_spheres else None)
+        return HitSoA(t, prim, u, v), gn
     if g.bvh_nodes48 is not None:
         return intersect_bvh_packed(static, g, org, d, tnear, tfar)
     return intersect_bvh_soa(static, g, org, d, tnear, tfar), None
@@ -519,6 +540,12 @@ def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
         return packet_trace.occluded_packet(
             g.packet, org, d, tnear, tfar,
+            n_tris=static.n_tris if static.n_spheres else None)
+    if g.sup16 is not None:
+        from gdpt_tpu.accel import super16 as s16
+
+        return s16.occluded_super16(
+            g.sup16, org, d, tnear, tfar,
             n_tris=static.n_tris if static.n_spheres else None)
     return occluded_bvh_soa(static, g, org, d, tnear, tfar)
 

@@ -378,7 +378,10 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
     n = w * h
-    sc = ps.scene_soa_from_aos(scene)
+    # The 5-path loop unrolls ~13 traversal instances; embedded Pallas
+    # kernels at that count crash the TPU worker, so GDPT uses the
+    # XLA super16 backend for big scenes instead of the packet kernel.
+    sc = ps.scene_soa_from_aos(scene, use_packet=False)
     ys, xs = np.mgrid[0:h, 0:w]
     xs_d = jnp.asarray(xs.ravel(), REAL)
     ys_d = jnp.asarray(ys.ravel(), REAL)

@@ -102,7 +102,7 @@ def supports_soa(scene: Scene) -> bool:
     return msoa.supports_soa_materials(scene)
 
 
-def scene_soa_from_aos(scene: Scene) -> SceneSoA:
+def scene_soa_from_aos(scene: Scene, use_packet=True) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
     env_rgb = dev.envmap.tex.value[0]
@@ -116,7 +116,7 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         n0 = n1 = n2 = np.zeros((0, 3), np.float32)
         uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
     return SceneSoA(
-        geom=trs.geom_soa_from_aos(dev.geom),
+        geom=trs.geom_soa_from_aos(dev.geom, use_packet=use_packet),
         tri_n0=soa.from_rows(jnp.asarray(n0)),
         tri_n1=soa.from_rows(jnp.asarray(n1)),
         tri_n2=soa.from_rows(jnp.asarray(n2)),
