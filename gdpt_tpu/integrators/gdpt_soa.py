@@ -393,21 +393,45 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
         batch = max(1, (1 << 23) // n)
     else:
         batch = 1  # latency-bound traversal; see path_soa.render_soa
+    # The unrolled 5-path program carries a lot of per-lane state; on
+    # big scenes the whole image in one dispatch crashes the TPU
+    # worker, so pixels go through in equal bands.
+    PIX_CAP = 1 << 17
+    if static.use_brute_force or n <= PIX_CAP:
+        bands = [(0, n)]
+    else:
+        nb = -(-n // PIX_CAP)
+        band = -(-n // nb)
+        bands = [(lo, min(n, lo + band)) for lo in range(0, n, band)]
+        band_n = bands[0][1] - bands[0][0]
+
+    def band_args(lo, hi):
+        if hi - lo == len(xs_d):
+            return xs_d, ys_d, ray_idx
+        pad = (bands[0][1] - bands[0][0]) - (hi - lo)
+        sl = slice(lo, hi)
+        return (jnp.pad(xs_d[sl], (0, pad)), jnp.pad(ys_d[sl], (0, pad)),
+                jnp.pad(ray_idx[sl], (0, pad)))
+
     acc = (np.zeros((6, 3, n), np.float64) if init_acc is None
            else np.asarray(init_acc, np.float64).copy())
     total_rays = 0.0
     done = int(start_sample)
     while done < spp:
         k = min(batch, spp - done)
-        out, nrays = _gdpt_pass(
-            static, scene.device.camera, sc, xs_d, ys_d, ray_idx,
-            jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
-        )
-        for i, buf in enumerate(out):
-            acc[i, 0] += np.asarray(buf.x, np.float64)
-            acc[i, 1] += np.asarray(buf.y, np.float64)
-            acc[i, 2] += np.asarray(buf.z, np.float64)
-        total_rays += float(nrays)
+        for lo, hi in bands:
+            bx, by, bidx = band_args(lo, hi)
+            out, nrays = _gdpt_pass(
+                static, scene.device.camera, sc, bx, by, bidx,
+                jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32),
+                k,
+            )
+            m = hi - lo
+            for i, buf in enumerate(out):
+                acc[i, 0, lo:hi] += np.asarray(buf.x, np.float64)[:m]
+                acc[i, 1, lo:hi] += np.asarray(buf.y, np.float64)[:m]
+                acc[i, 2, lo:hi] += np.asarray(buf.z, np.float64)[:m]
+            total_rays += float(nrays) * m / max(len(jnp.asarray(bx)), 1)
         done += k
         if on_chunk is not None:
             on_chunk(acc, done)
