@@ -197,6 +197,14 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
                 extend & ok_base & nxt_is_light, throughput * c2, zero3
             )
 
+        # Offsets, phase A: everything up to the traversals, plus the
+        # probe (reconnection) and replay rays for ALL four offsets.
+        # The traversals then go through ONE batched 8n-lane call — the
+        # unrolled 4x2 per-offset calls made the program large enough
+        # to crash the TPU worker, and batching amortizes the
+        # latency-bound traversal across offsets.
+        g_base = _geom_term(base_v.position, base_v.gn, nxt.position, nxt.gn)
+        offA = []
         for off in s["offs"]:
             ov = off["v"]
             ovalid = off["valid"] > 0
@@ -213,10 +221,6 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             valid_l = jnp.where(hit_light, term_valid, ovalid)
             oc = soa.where(hit_light, term_c, oc)
 
-            # Merged: follow base factors (reference: src/path_tracing.h:774-778).
-            mc = oc * f_base
-            mp = op * pdf_base
-
             o_params = msoa.gather_params_soa(
                 sc.mat_tables, used, ov.material_id, ov.uv_u, ov.uv_v,
                 static.spec_image_slots,
@@ -226,15 +230,61 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             o_diffuse = _is_lambertian(sc, static, ov.material_id)
             can_reconnect = base_diffuse & o_diffuse & nxt_ok
 
-            # Reconnection to the base's next vertex
-            # (reference: small_gdpt.cpp:248-269).
+            # Reconnection direction (reference: small_gdpt.cpp:248-269).
             to_next = nxt.position - ov.position
             dist = jnp.maximum(soa.length(to_next), 1e-20)
             dir_rec = to_next * (1.0 / dist)
-            probe_hit, _ = trs.intersect_soa_gn(
-                static, sc.geom, ov.position, dir_rec, eps_isect,
-                jnp.where(extend & ovalid & can_reconnect, BIG, -1.0)
-            )
+
+            # Replay with the base's randoms (small_gdpt.cpp:272-279).
+            o_samp = msoa.sample_bsdf_soa(o_params, o_view, ov.gn, ov.frame,
+                                          bu0, bu1, w_lobe, used)
+            offA.append(dict(
+                ov=ov, off=off, ovalid=ovalid, merged=merged,
+                oc=oc, op=op, oj=oj, valid_l=valid_l,
+                o_params=o_params, o_view=o_view, o_samp=o_samp,
+                can_reconnect=can_reconnect, dir_rec=dir_rec,
+                probe_tfar=jnp.where(extend & ovalid & can_reconnect,
+                                     BIG, -1.0),
+                rep_tfar=jnp.where(extend & ovalid, BIG, -1.0),
+            ))
+
+        def cat(vs):
+            return jnp.concatenate(vs, axis=0)
+
+        def cat3(vs):
+            return V3(cat([v.x for v in vs]), cat([v.y for v in vs]),
+                      cat([v.z for v in vs]))
+
+        borg = cat3([a["ov"].position for a in offA] * 2)
+        bdir = cat3([a["dir_rec"] for a in offA]
+                    + [a["o_samp"].dir_out for a in offA])
+        btfar = cat([a["probe_tfar"] for a in offA]
+                    + [a["rep_tfar"] for a in offA])
+        bhit, bgn = trs.intersect_soa_gn(
+            static, sc.geom, borg, bdir, eps_isect, btfar)
+
+        def part(i):
+            sl = slice(i * n, (i + 1) * n)
+            hit_i = jax.tree_util.tree_map(lambda a: a[sl], bhit)
+            gn_i = None if bgn is None else jax.tree_util.tree_map(
+                lambda a: a[sl], bgn)
+            return hit_i, gn_i
+
+        # Phase B: per-offset consumption of the sliced results.
+        for i, a in enumerate(offA):
+            off, ov = a["off"], a["ov"]
+            ovalid, merged = a["ovalid"], a["merged"]
+            oc, op, oj = a["oc"], a["op"], a["oj"]
+            valid_l = a["valid_l"]
+            o_params, o_view = a["o_params"], a["o_view"]
+            o_samp = a["o_samp"]
+            can_reconnect, dir_rec = a["can_reconnect"], a["dir_rec"]
+
+            # Merged: follow base factors (reference: src/path_tracing.h:774-778).
+            mc = oc * f_base
+            mp = op * pdf_base
+
+            probe_hit, _ = part(i)
             probe_ok = (probe_hit.prim_id >= 0) & (
                 probe_hit.prim_id == jnp.maximum(nxt_hit.prim_id, 0)
             ) & nxt_ok
@@ -242,25 +292,17 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
                                        ov.frame, used)
             pdf_rec = msoa.pdf_bsdf_soa(o_params, o_view, dir_rec, ov.gn,
                                         ov.frame, used)
-            g_base = _geom_term(base_v.position, base_v.gn, nxt.position, nxt.gn)
             g_shift = _geom_term(ov.position, ov.gn, nxt.position, nxt.gn)
             rec_valid = probe_ok & (pdf_rec > 0)
             rec_c = oc * f_rec
             rec_p = op * pdf_rec
             rec_j = oj * g_shift / jnp.maximum(g_base, 1e-20)
 
-            # Replay with the base's random numbers
-            # (reference: small_gdpt.cpp:272-279).
-            o_samp = msoa.sample_bsdf_soa(o_params, o_view, ov.gn, ov.frame,
-                                          bu0, bu1, w_lobe, used)
             f_rep = msoa.eval_bsdf_soa(o_params, o_view, o_samp.dir_out,
                                        ov.gn, ov.frame, used)
             pdf_rep = msoa.pdf_bsdf_soa(o_params, o_view, o_samp.dir_out,
                                         ov.gn, ov.frame, used)
-            o_nxt_hit, o_nxt_gn = trs.intersect_soa_gn(
-                static, sc.geom, ov.position, o_samp.dir_out, eps_isect,
-                jnp.where(extend & ovalid, BIG, -1.0)
-            )
+            o_nxt_hit, o_nxt_gn = part(4 + i)
             o_nxt = ps.shade_hit(static, sc, ov.position, o_samp.dir_out,
                                  o_nxt_hit, o_nxt_gn)
             rep_valid = (
@@ -276,13 +318,13 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             new_valid = valid_l & jnp.where(
                 merged, True, jnp.where(do_rec, rec_valid, rep_valid)
             )
-            pick = lambda m, a, b_: jnp.where(m, a, b_)
-            pick3 = lambda m, a, b_: soa.where(m, a, b_)
+            pick = lambda m, a_, b_: jnp.where(m, a_, b_)
+            pick3 = lambda m, a_, b_: soa.where(m, a_, b_)
             new_c = pick3(merged, mc, pick3(do_rec, rec_c, rep_c))
             new_p = pick(merged, mp, pick(do_rec, rec_p, rep_p))
             new_j = pick(merged, oj, pick(do_rec, rec_j, rep_j))
             new_v = jax.tree_util.tree_map(
-                lambda a, b_: jnp.where(new_merged, a, b_), nxt, o_nxt
+                lambda a_, b_: jnp.where(new_merged, a_, b_), nxt, o_nxt
             )
             new_prim = jnp.where(new_merged, nxt_hit.prim_id, o_nxt_hit.prim_id)
             new_d = soa.where(new_merged, samp.dir_out, o_samp.dir_out)
@@ -378,10 +420,7 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
     n = w * h
-    # The 5-path loop unrolls ~13 traversal instances; embedded Pallas
-    # kernels at that count crash the TPU worker, so GDPT uses the
-    # XLA super16 backend for big scenes instead of the packet kernel.
-    sc = ps.scene_soa_from_aos(scene, use_packet=False)
+    sc = ps.scene_soa_from_aos(scene)
     ys, xs = np.mgrid[0:h, 0:w]
     xs_d = jnp.asarray(xs.ravel(), REAL)
     ys_d = jnp.asarray(ys.ravel(), REAL)
