@@ -19,16 +19,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 SCENES = {
     "cbox": (_SCENE_ROOT + "/cbox/cbox_old.xml", 512, 256, None),
     "veach_mi": (_SCENE_ROOT + "/veach_mi/mi.xml", 512, 256, None),
-    # BVH-heavy scenes: latency-bound traversal, keep per-dispatch time
-    # under the device watchdog (see README performance notes).
+    # BVH scenes ride the packet kernel now; full resolution.
     "disney_array": (
-        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", 256, 64, 5
+        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", 512, 64, 5
     ),
-    "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", 256, 64, 5),
+    "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", 512, 64, 5),
     # sponza's scene file asks for gradpath; render the path version here
-    # (the GDPT version is rendered separately at lower spp — 5 paths and
-    # 10 traversals per bounce).
-    "sponza_path": (_SCENE_ROOT + "/sponza/sponza.xml", 128, 48, 5, "path"),
+    # (the GDPT flagship is produced by tools/render_sponza_gdpt.py).
+    "sponza_path": (_SCENE_ROOT + "/sponza/sponza.xml", 512, 64, 5, "path"),
 }
 
 
