@@ -17,9 +17,17 @@ src/render.cpp:257-370):
 - otherwise the offset replays the base path's BSDF random numbers from
   its own vertex with a pdf-ratio Jacobian ("random number reuse" shift,
   reference: small_gdpt.cpp:272-279, src/path_tracing.h:780-959);
-- gradient paths terminate at the first emissive hit and carry no NEE
-  (reference: src/path_tracing.h:520, small_gdpt.cpp:183), but the
-  *primal* image is estimated with full NEE + MIS alongside (the
+- gradient paths carry no NEE (reference: src/path_tracing.h:520,
+  small_gdpt.cpp:183) and do NOT terminate at emissive hits: like the
+  reference's base path (src/path_tracing.h:968-1010), a path that hits
+  a light keeps bouncing (lajolla lights have materials), and every
+  light hit contributes one path-prefix term. Unlike the reference we
+  accumulate each prefix's BF radiance and one-sided differences at the
+  hit (with the prefix's own prob/jacobian/weight) instead of polluting
+  the running `contrib` product with the emission (the reference's
+  `contrib *= L` at src/path_tracing.h:973 multiplies emission into all
+  *subsequent* bounces' factors, inflating multi-hit paths);
+- the *primal* image is estimated with full NEE + MIS alongside (the
   reference's BF-only primal is unusably noisy for small lights; the
   Poisson data term anchors to the NEE primal instead);
 - per-sample MIS weights w = p / (p + p_shift * J) combine the two
@@ -28,10 +36,13 @@ src/render.cpp:257-370):
 - the primal + 4 gradient buffers feed the screened-Poisson solve with
   data weight alpha (reference: src/render.cpp:353, alpha = 0.04).
 
-Unlike the reference fork, no Russian roulette is applied inside the
-gradient estimator (the prototype uses a fixed depth cap, which keeps
-contrib/prob an unbiased pair; the fork's RR at
-src/path_tracing.h:992-999 drops paths without reweighting).
+Russian roulette follows the reference's placement (after rr_depth,
+survival min(throughput/eta_scale, 0.95), src/path_tracing.h:992-999)
+but, unlike the fork — which drops paths without reweighting the
+gradient pair — the survival probability is folded into BOTH the base
+`prob` and every offset's prob, so contrib/prob stays an unbiased pair
+and the shift MIS weights are unchanged (the factor cancels in
+p/(p + p_shift*J)).
 """
 
 from typing import NamedTuple
@@ -121,10 +132,13 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
 
     state = dict(
         radiance=radiance0,
+        primal_bf=jnp.zeros(3, REAL),
+        diffs=jnp.zeros((4, 3), REAL),
         base_v=base_v,
         base_d=base_d,
         contrib=jnp.ones(3, REAL),
         prob=jnp.asarray(1.0, REAL),
+        eta_scale=jnp.asarray(1.0, REAL),
         off_v=off_v,
         off_d=off_d,
         off_valid=off_valid,
@@ -133,9 +147,11 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         off_prob=jnp.ones(4, REAL),
         jacob=jnp.ones(4, REAL),
         active=base_v.valid,
-        done_light=jnp.asarray(False),
         bounce=jnp.asarray(0, INT),
     )
+
+    # sign -1: gradient stored as (base - offset); +1: (offset - base).
+    _SIGNS = jnp.asarray([-1.0, 1.0, -1.0, 1.0], REAL)
 
     def cond(s):
         return s["active"] & (s["bounce"] <= n_iters)
@@ -144,33 +160,57 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         base_v = s["base_v"]
         b = s["bounce"] + 1
 
-        # --- terminal check: base path reached an emitter ---
+        # --- light hit: accumulate this path-prefix's BF radiance and
+        # one-sided differences, then KEEP TRACING (the reference's base
+        # path bounces off emitters too, src/path_tracing.h:968-1010;
+        # lajolla lights have materials). Each prefix uses its own
+        # prob/jacobian/MIS weight — see module docstring. ---
         base_is_light = scene.shape_light_id[base_v.shape_id] >= 0
-        hit_light = s["active"] & base_is_light
+        hit_light = s["active"] & base_is_light & (s["prob"] > 0)
         emitted = lgt.emission_at_vertex(scene, static, base_v, -s["base_d"])
-        contrib = jnp.where(hit_light, s["contrib"] * emitted, s["contrib"])
+        prob_c = jnp.maximum(s["prob"], 1e-30)
+        base_term = s["contrib"] * emitted
+        primal_bf = s["primal_bf"] + jnp.where(
+            hit_light, base_term / prob_c, jnp.zeros(3, REAL)
+        )
 
-        def offset_light(ov_valid, merged, ov, od, oc):
-            # Merged offsets share the base's final vertex; replaying
-            # offsets must land on an emitter themselves
-            # (reference: small_gdpt.cpp:282-284).
+        def offset_term(ov_valid, merged, ov, od, oc, op, oj):
+            # Merged offsets share the base's vertex; replaying offsets
+            # must sit on an emitter themselves for this prefix to have a
+            # shifted counterpart (reference: small_gdpt.cpp:282-284,
+            # shiftPath's terminal-emitter check).
             o_emit = lgt.emission_at_vertex(scene, static, ov, -od)
             o_is_light = scene.shape_light_id[ov.shape_id] >= 0
-            new_c = jnp.where(
-                merged, oc * emitted, jnp.where(o_is_light, oc * o_emit, oc)
+            term_valid = ov_valid & (merged | o_is_light)
+            term_c = jnp.where(
+                term_valid,
+                jnp.where(merged, oc * emitted, oc * o_emit) * oj,
+                jnp.zeros(3, REAL),
             )
-            new_valid = ov_valid & (merged | o_is_light)
-            return new_valid, jnp.where(hit_light, new_c, oc)
+            p_shift = op * oj
+            w = jnp.where(
+                term_valid,
+                s["prob"] / jnp.maximum(s["prob"] + p_shift, 1e-30),
+                1.0,
+            )
+            return term_c, w
 
-        off_valid_l, off_contrib_l = jax.vmap(offset_light)(
-            s["off_valid"], s["merged"], s["off_v"], s["off_d"], s["off_contrib"]
+        term_c, w_off = jax.vmap(offset_term)(
+            s["off_valid"], s["merged"], s["off_v"], s["off_d"],
+            s["off_contrib"], s["off_prob"], s["jacob"],
         )
-        off_valid = jnp.where(hit_light, off_valid_l, s["off_valid"])
-        off_contrib = off_contrib_l
-        done_light = s["done_light"] | hit_light
+        d_all = (term_c - base_term[None, :]) * _SIGNS[:, None] \
+            * (w_off / prob_c)[:, None]
+        diffs = s["diffs"] + jnp.where(
+            hit_light, d_all, jnp.zeros((4, 3), REAL)
+        )
 
-        # --- extension (only when not terminal) ---
-        extend = s["active"] & ~base_is_light
+        contrib = s["contrib"]
+        off_contrib = s["off_contrib"]
+        off_valid = s["off_valid"]
+
+        # --- extension (continues through emitters) ---
+        extend = s["active"]
         dir_view = -s["base_d"]
         params = mat.gather_params(scene, static, base_v)
         throughput = s["contrib"] / jnp.maximum(s["prob"], 1e-30)
@@ -188,6 +228,30 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         samp = mat.sample_bsdf(params, dir_view, base_v, uv_b, w_b, used)
         f_base = mat.eval_bsdf(params, dir_view, samp.dir_out, base_v, used)
         pdf_base = mat.pdf_bsdf(params, dir_view, samp.dir_out, base_v, used)
+        is_transmit = samp.valid & (samp.eta != 0)
+        eta_scale = jnp.where(
+            is_transmit,
+            s["eta_scale"] / jnp.where(is_transmit, samp.eta, 1.0) ** 2,
+            s["eta_scale"],
+        )
+
+        # Russian roulette on the base path (reference:
+        # src/path_tracing.h:992-999 — same placement/cap, but the
+        # survival probability is folded into prob and every offset prob
+        # so the gradient pair stays unbiased; the factor cancels in the
+        # shift MIS weights).
+        num_vertices = s["bounce"] + 3
+        do_rr = (num_vertices - 1) >= static.options.rr_depth
+        rr_prob = jnp.where(
+            do_rr,
+            jnp.minimum(
+                jnp.max(s["contrib"]) / (prob_c * jnp.maximum(eta_scale, 1e-20)),
+                0.95,
+            ),
+            1.0,
+        )
+        u_rr = rng.uniform(key, b, rng.SLOT_RR)
+        survive = (~do_rr) | (u_rr <= rr_prob)
         nxt = isect.intersect(
             scene, static, base_v.position, samp.dir_out,
             static.intersection_epsilon, BIG,
@@ -271,7 +335,8 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
             )
             pick3 = lambda m, a, b_: jnp.where(m, a, b_)
             new_c = pick3(merged, mc, pick3(do_rec, rec_c, rep_c))
-            new_p = pick3(merged, mp, pick3(do_rec, rec_p, rep_p))
+            # Offsets share the base's RR decision and survival prob.
+            new_p = pick3(merged, mp, pick3(do_rec, rec_p, rep_p)) * rr_prob
             new_j = pick3(merged, oj, pick3(do_rec, rec_j, rep_j))
             # Offset's current vertex: merged offsets ride the base vertex;
             # replaying offsets move to their own next hit.
@@ -298,21 +363,25 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
         )(off_valid, s["merged"], s["off_v"], s["off_d"], off_contrib,
           s["off_prob"], s["jacob"])
 
-        new_contrib = jnp.where(extend & ok_base, contrib * f_base, contrib)
-        new_prob = jnp.where(extend & ok_base, s["prob"] * pdf_base, s["prob"])
+        upd_base = extend & ok_base & survive
+        new_contrib = jnp.where(upd_base, contrib * f_base, contrib)
+        new_prob = jnp.where(upd_base, s["prob"] * pdf_base * rr_prob, s["prob"])
         new_base_v = jax.tree_util.tree_map(
-            lambda n, o: jnp.where(extend & ok_base, n, o), nxt, base_v
+            lambda n, o: jnp.where(upd_base, n, o), nxt, base_v
         )
-        new_base_d = jnp.where(extend & ok_base, samp.dir_out, s["base_d"])
+        new_base_d = jnp.where(upd_base, samp.dir_out, s["base_d"])
 
-        active = s["active"] & extend & ok_base
+        active = s["active"] & ok_base & survive
 
         return dict(
             radiance=radiance,
+            primal_bf=primal_bf,
+            diffs=diffs,
             base_v=new_base_v,
             base_d=new_base_d,
             contrib=new_contrib,
             prob=new_prob,
+            eta_scale=jnp.where(upd_base, eta_scale, s["eta_scale"]),
             off_v=off_v2,
             off_d=off_d2,
             off_valid=off_valid2,
@@ -321,42 +390,22 @@ def trace_gdpt(scene: DeviceScene, static: SceneStatic, x, y, key) -> GdptSample
             off_prob=off_p2,
             jacob=off_j2,
             active=active,
-            done_light=done_light,
             bounce=s["bounce"] + 1,
         )
 
     out = jax.lax.while_loop(cond, body, state)
 
-    ok = out["done_light"] & (out["prob"] > 0)
-    prob = jnp.maximum(out["prob"], 1e-30)
-    primal = out["radiance"]
-    primal_bf = jnp.where(ok, out["contrib"] / prob, jnp.zeros(3, REAL))
-
-    # Per-offset weighted contributions
-    # (reference: src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507).
-    off_c = jnp.where(
-        out["off_valid"][:, None],
-        out["off_contrib"] * out["jacob"][:, None],
-        jnp.zeros((4, 3), REAL),
-    )
-    p_shift = out["off_prob"] * out["jacob"]
-    w_off = jnp.where(
-        out["off_valid"], out["prob"] / jnp.maximum(out["prob"] + p_shift, 1e-30), 1.0
-    )
-
-    def diff(i, sign):
-        # sign +1: (offset - base); -1: (base - offset)
-        d = sign * (off_c[i] - out["contrib"])
-        return jnp.where(ok, d * w_off[i] / prob, jnp.zeros(3, REAL))
-
+    # Accumulated per-prefix terms (reference pairing:
+    # src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507 — but one term
+    # per light hit instead of one product at loop end).
     # gx_here at x estimates u[x] - u[x-1]: base - offset(x-1).
     return GdptSample(
-        primal=primal,
-        primal_bf=primal_bf,
-        gx_here=diff(0, -1.0),
-        gx_next=diff(1, 1.0),
-        gy_here=diff(2, -1.0),
-        gy_next=diff(3, 1.0),
+        primal=out["radiance"],
+        primal_bf=out["primal_bf"],
+        gx_here=out["diffs"][0],
+        gx_next=out["diffs"][1],
+        gy_here=out["diffs"][2],
+        gy_next=out["diffs"][3],
     )
 
 

@@ -108,16 +108,21 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
     base_ok = base_v.valid > 0
     radiance0 = soa.where(base_ok, ps.emission(sc, base_v, -1.0 * base_d), zero3)
 
+    # sign -1: gradient stored as (base - offset); +1: (offset - base).
+    _SIGNS = (-1.0, 1.0, -1.0, 1.0)
+
     state = dict(
         radiance=radiance0,
+        primal_bf=zero3,
+        diffs=(zero3, zero3, zero3, zero3),
         base_v=base_v,
         base_d=base_d,
         base_prim=base_prim,
         contrib=one3,
         prob=one,
+        eta_scale=one,
         offs=tuple(offs),
         active=base_v.valid,
-        done_light=zero,
         bounce=jnp.asarray(0, INT),
         rays=jnp.full((), 5.0 * n, REAL),
     )
@@ -130,17 +135,48 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
         b = s["bounce"] + 1
         active = s["active"] > 0
 
-        # --- terminal check: base path reached an emitter ---
+        # --- light hit: accumulate this path-prefix's BF radiance and
+        # one-sided differences, then KEEP TRACING (the reference's base
+        # path bounces off emitters too, src/path_tracing.h:968-1010;
+        # lajolla lights have materials). Each prefix uses its own
+        # prob/jacobian/MIS weight — see gdpt.py docstring. ---
         base_is_light = base_v.light_id >= 0
-        hit_light = active & base_is_light
+        hit_light = active & base_is_light & (s["prob"] > 0)
         emitted = ps.emission(sc, base_v, -1.0 * s["base_d"])
-        contrib = soa.where(hit_light, s["contrib"] * emitted, s["contrib"])
+        prob_c = jnp.maximum(s["prob"], 1e-30)
+        base_term = s["contrib"] * emitted
+        primal_bf = s["primal_bf"] + soa.where(
+            hit_light, base_term * (1.0 / prob_c), zero3
+        )
+        new_diffs = []
+        for i, off in enumerate(s["offs"]):
+            ov = off["v"]
+            merged = off["merged"] > 0
+            o_emit = ps.emission(sc, ov, -1.0 * off["d"])
+            o_is_light = ov.light_id >= 0
+            term_valid = (off["valid"] > 0) & (merged | o_is_light)
+            term_c = soa.where(
+                term_valid,
+                soa.where(merged, off["contrib"] * emitted,
+                          off["contrib"] * o_emit) * off["jacob"],
+                zero3,
+            )
+            p_shift = off["prob"] * off["jacob"]
+            w = jnp.where(
+                term_valid,
+                s["prob"] / jnp.maximum(s["prob"] + p_shift, 1e-30),
+                1.0,
+            )
+            d_i = (term_c - base_term) * (_SIGNS[i] * w / prob_c)
+            new_diffs.append(
+                s["diffs"][i] + soa.where(hit_light, d_i, zero3)
+            )
 
+        contrib = s["contrib"]
         new_offs = []
-        done_light = jnp.maximum(s["done_light"], hit_light.astype(REAL))
 
-        # --- extension (only when not terminal) ---
-        extend = active & ~base_is_light
+        # --- extension (continues through emitters) ---
+        extend = active
         dir_view = -1.0 * s["base_d"]
         params = msoa.gather_params_soa(
             sc.mat_tables, used, base_v.material_id, base_v.uv_u, base_v.uv_v,
@@ -161,13 +197,36 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             rays = rays + jnp.sum(jnp.where(extend, 1.0, 0.0))
 
         bu0, bu1 = uni2(b, ps._CTR_BSDF_UV)
-        w_lobe, _ = uni2(b, ps._CTR_BSDF_W)
+        w_lobe, u_rr = uni2(b, ps._CTR_BSDF_W)
         samp = msoa.sample_bsdf_soa(params, dir_view, base_v.gn, base_v.frame,
                                     bu0, bu1, w_lobe, used)
         f_base = msoa.eval_bsdf_soa(params, dir_view, samp.dir_out,
                                     base_v.gn, base_v.frame, used)
         pdf_base = msoa.pdf_bsdf_soa(params, dir_view, samp.dir_out,
                                      base_v.gn, base_v.frame, used)
+        is_transmit = (samp.valid > 0) & (samp.eta != 0)
+        eta_scale = jnp.where(
+            is_transmit,
+            s["eta_scale"] / jnp.where(is_transmit, samp.eta, 1.0) ** 2,
+            s["eta_scale"],
+        )
+
+        # Russian roulette on the base path (reference:
+        # src/path_tracing.h:992-999); survival prob folded into the
+        # base prob AND every offset prob so contrib/prob stays an
+        # unbiased pair (factor cancels in the shift MIS weights).
+        num_vertices = s["bounce"] + 3
+        do_rr = (num_vertices - 1) >= static.options.rr_depth
+        rr_prob = jnp.where(
+            do_rr,
+            jnp.minimum(
+                soa.vmax(s["contrib"])
+                / (prob_c * jnp.maximum(eta_scale, 1e-20)),
+                0.95,
+            ),
+            1.0,
+        )
+        survive = (~do_rr) | (u_rr <= rr_prob)
         # Inactive lanes become dead rays (tfar < tnear): traversal
         # backends exit them immediately instead of tracing stale rays.
         nxt_hit, nxt_gn = trs.intersect_soa_gn(
@@ -211,16 +270,6 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             merged = off["merged"] > 0
             oc, op, oj = off["contrib"], off["prob"], off["jacob"]
 
-            # Terminal handling (reference: small_gdpt.cpp:282-284).
-            o_emit = ps.emission(sc, ov, -1.0 * off["d"])
-            o_is_light = ov.light_id >= 0
-            term_c = soa.where(
-                merged, oc * emitted, soa.where(o_is_light, oc * o_emit, oc)
-            )
-            term_valid = ovalid & (merged | o_is_light)
-            valid_l = jnp.where(hit_light, term_valid, ovalid)
-            oc = soa.where(hit_light, term_c, oc)
-
             o_params = msoa.gather_params_soa(
                 sc.mat_tables, used, ov.material_id, ov.uv_u, ov.uv_v,
                 static.spec_image_slots,
@@ -240,7 +289,7 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
                                           bu0, bu1, w_lobe, used)
             offA.append(dict(
                 ov=ov, off=off, ovalid=ovalid, merged=merged,
-                oc=oc, op=op, oj=oj, valid_l=valid_l,
+                oc=oc, op=op, oj=oj,
                 o_params=o_params, o_view=o_view, o_samp=o_samp,
                 can_reconnect=can_reconnect, dir_rec=dir_rec,
                 probe_tfar=jnp.where(extend & ovalid & can_reconnect,
@@ -275,7 +324,6 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             off, ov = a["off"], a["ov"]
             ovalid, merged = a["ovalid"], a["merged"]
             oc, op, oj = a["oc"], a["op"], a["oj"]
-            valid_l = a["valid_l"]
             o_params, o_view = a["o_params"], a["o_view"]
             o_samp = a["o_samp"]
             can_reconnect, dir_rec = a["can_reconnect"], a["dir_rec"]
@@ -315,13 +363,14 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
 
             do_rec = can_reconnect & ~merged
             new_merged = merged | do_rec
-            new_valid = valid_l & jnp.where(
+            new_valid = ovalid & jnp.where(
                 merged, True, jnp.where(do_rec, rec_valid, rep_valid)
             )
             pick = lambda m, a_, b_: jnp.where(m, a_, b_)
             pick3 = lambda m, a_, b_: soa.where(m, a_, b_)
             new_c = pick3(merged, mc, pick3(do_rec, rec_c, rep_c))
-            new_p = pick(merged, mp, pick(do_rec, rec_p, rep_p))
+            # Offsets share the base's RR decision and survival prob.
+            new_p = pick(merged, mp, pick(do_rec, rec_p, rep_p)) * rr_prob
             new_j = pick(merged, oj, pick(do_rec, rec_j, rep_j))
             new_v = jax.tree_util.tree_map(
                 lambda a_, b_: jnp.where(new_merged, a_, b_), nxt, o_nxt
@@ -333,7 +382,7 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             sel = lambda nw, old: jnp.where(upd, nw, old)
             sel3 = lambda nw, old: soa.where(upd, nw, old)
             new_offs.append(dict(
-                valid=jnp.where(upd, new_valid, valid_l).astype(REAL),
+                valid=jnp.where(upd, new_valid, ovalid).astype(REAL),
                 merged=jnp.where(upd, new_merged, merged).astype(REAL),
                 v=jax.tree_util.tree_map(
                     lambda nw, old: jnp.where(upd, nw, old), new_v, ov
@@ -346,49 +395,38 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
             ))
             rays = rays + 2.0 * jnp.sum(jnp.where(upd, 1.0, 0.0))
 
-        ext_ok = extend & ok_base
+        ext_ok = extend & ok_base & survive
         new_contrib = soa.where(ext_ok, contrib * f_base, contrib)
-        new_prob = jnp.where(ext_ok, s["prob"] * pdf_base, s["prob"])
+        new_prob = jnp.where(ext_ok, s["prob"] * pdf_base * rr_prob, s["prob"])
         new_base_v = jax.tree_util.tree_map(
             lambda nw, old: jnp.where(ext_ok, nw, old), nxt, base_v
         )
 
         return dict(
             radiance=radiance,
+            primal_bf=primal_bf,
+            diffs=tuple(new_diffs),
             base_v=new_base_v,
             base_d=soa.where(ext_ok, samp.dir_out, s["base_d"]),
             base_prim=jnp.where(ext_ok, nxt_hit.prim_id, s["base_prim"]),
             contrib=new_contrib,
             prob=new_prob,
+            eta_scale=jnp.where(ext_ok, eta_scale, s["eta_scale"]),
             offs=tuple(new_offs),
             active=ext_ok.astype(REAL),
-            done_light=done_light,
             bounce=s["bounce"] + 1,
             rays=rays,
         )
 
     out = jax.lax.while_loop(cond, body, state)
 
-    ok = (out["done_light"] > 0) & (out["prob"] > 0)
-    prob = jnp.maximum(out["prob"], 1e-30)
-    primal = out["radiance"]
-    primal_bf = soa.where(ok, out["contrib"] * (1.0 / prob), zero3)
-
-    # Per-offset one-sided-difference MIS
-    # (reference: src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507).
-    diffs = []
-    for i, sign in ((0, -1.0), (1, 1.0), (2, -1.0), (3, 1.0)):
-        off = out["offs"][i]
-        ovalid = off["valid"] > 0
-        off_c = soa.where(ovalid, off["contrib"] * off["jacob"], zero3)
-        p_shift = off["prob"] * off["jacob"]
-        w_off = jnp.where(
-            ovalid, out["prob"] / jnp.maximum(out["prob"] + p_shift, 1e-30), 1.0
-        )
-        d = (off_c - out["contrib"]) * sign
-        diffs.append(soa.where(ok, d * (w_off / prob), zero3))
-
-    return GdptSampleSoA(primal, primal_bf, *diffs), out["rays"]
+    # Accumulated per-prefix terms (reference pairing:
+    # src/path_tracing.h:1016-1049, small_gdpt.cpp:488-507 — but one
+    # term per light hit instead of one product at loop end).
+    return (
+        GdptSampleSoA(out["radiance"], out["primal_bf"], *out["diffs"]),
+        out["rays"],
+    )
 
 
 @partial(jax.jit, static_argnames=("static", "n_samples"))
@@ -442,7 +480,6 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
         nb = -(-n // PIX_CAP)
         band = -(-n // nb)
         bands = [(lo, min(n, lo + band)) for lo in range(0, n, band)]
-        band_n = bands[0][1] - bands[0][0]
 
     def band_args(lo, hi):
         if hi - lo == len(xs_d):
