@@ -59,6 +59,12 @@ class PacketTable(NamedTuple):
     table: jnp.ndarray        # (R, 128) int32 unified rows
     stack_dummy: jnp.ndarray  # (stack_n,) shape-only
     bbox: jnp.ndarray         # (6,) scene AABB (morton ray-sort domain)
+    # (n_prims, 9) f32 primitive geometry (tri v0/e1/e2 or sphere
+    # center/radius/pad), HBM-resident: the kernel reports only
+    # (t, prim); u/v/geometric normal are recomputed outside by one
+    # XLA gather of the hit primitive, which keeps the kernel's leaf
+    # loop down to two VMEM read-modify-writes per visit.
+    geo9: jnp.ndarray = None
 
 
 def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
@@ -224,38 +230,32 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         jnp.asarray(ti),
         jnp.zeros(stack_n, jnp.int32),
         jnp.asarray(np.concatenate([root_lo, root_hi]).astype(np.float32)),
+        jnp.asarray(geo9),
     )
 
 
-INTERLEAVE = int(__import__("os").environ.get("GDPT_PACKET_IL", "1"))
+_VISITS_PER_ITER = 2  # stack visits unrolled per while iteration
 
 
-def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows, il):
-    """Kernel over il interleaved packets: il independent traversal
-    state machines advance in lockstep inside one while loop, so their
-    dependent scalar chains (row load -> mask readback -> pushes)
-    overlap instead of serializing. Finished packets skip their slot
-    via pl.when until the slowest of the il packets drains."""
+def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
+    """One packet per grid step. The kernel reports only (t, prim): the
+    hit's u/v/geometric normal are recomputed outside from one XLA
+    gather of the winning primitive, so the leaf loop carries two VMEM
+    read-modify-writes instead of seven. Two stack visits run per while
+    iteration to halve the loop's fixed cost (cond eval, carry)."""
 
     def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf,
-               t_o, prim_o, u_o, v_o, gx_o, gy_o, gz_o,
-               wscr, stk, spr):
+               t_o, prim_o, wscr, stk, spr):
         import jax.experimental.pallas as pl
 
         P = PACKET_ROWS
         R = n_rows
         t_o[...] = tf[...]
-        prim_o[...] = jnp.full((il * P, 128), -1, jnp.int32)
-        u_o[...] = jnp.zeros((il * P, 128), jnp.float32)
-        v_o[...] = jnp.zeros((il * P, 128), jnp.float32)
-        gx_o[...] = jnp.zeros((il * P, 128), jnp.float32)
-        gy_o[...] = jnp.zeros((il * P, 128), jnp.float32)
-        gz_o[...] = jnp.ones((il * P, 128), jnp.float32)
+        prim_o[...] = jnp.full((P, 128), -1, jnp.int32)
         if any_hit:
             # Dead padding lanes (tf < tn) must not keep packets alive.
             prim_o[...] = jnp.where(tn[...] > tf[...], 0, prim_o[...])
-        for p in range(il):
-            stk[p, 0] = jnp.int32(0)
+        stk[0] = jnp.int32(0)
 
         def or_scalar(w):
             from jax.experimental.pallas import tpu as pltpu
@@ -269,164 +269,140 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows, il):
             wscr[...] = w
             return wscr[0, 0]
 
-        def make_slot(p):
-            sl = slice(p * P, (p + 1) * P)
-            org = V3(ox[sl, :], oy[sl, :], oz[sl, :])
-            d = V3(dx[sl, :], dy[sl, :], dz[sl, :])
-            inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
-                     1.0 / jnp.where(d.y == 0, 1e-20, d.y),
-                     1.0 / jnp.where(d.z == 0, 1e-20, d.z))
-            tnear = tn[sl, :]
+        org = V3(ox[...], oy[...], oz[...])
+        d = V3(dx[...], dy[...], dz[...])
+        inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+                 1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+                 1.0 / jnp.where(d.z == 0, 1e-20, d.z))
+        tnear = tn[...]
 
-            def visit_super(srow, sp):
-                row_i = tab_ref[srow, :]
-                rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
-                best = t_o[sl, :]
-                bits = jnp.zeros((P, 128), jnp.int32)
-                for k in range(16):
-                    b = k * 6
-                    t0x = (rowf[b + 0] - org.x) * inv.x
-                    t1x = (rowf[b + 3] - org.x) * inv.x
-                    t0y = (rowf[b + 1] - org.y) * inv.y
-                    t1y = (rowf[b + 4] - org.y) * inv.y
-                    t0z = (rowf[b + 2] - org.z) * inv.z
-                    t1z = (rowf[b + 5] - org.z) * inv.z
-                    t_in = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t0x, t1x),
-                                    jnp.minimum(t0y, t1y)),
-                        jnp.maximum(jnp.minimum(t0z, t1z), tnear))
-                    t_out = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t0x, t1x),
-                                    jnp.maximum(t0y, t1y)),
-                        jnp.minimum(jnp.maximum(t0z, t1z), best))
-                    bits = bits | jnp.where(t_in <= t_out,
-                                            jnp.int32(1 << k), 0)
-                mask = or_scalar(bits) & tab_ref[srow, 120]
-                sp2 = sp
-                for k in range(16):
-                    ref_k = tab_ref[srow, 96 + k]
-                    stk[p, jnp.minimum(sp2, stack_n - 1)] = ref_k
-                    sp2 = sp2 + ((mask >> k) & 1)
-                # A full stack drops pushes rather than writing out of
-                # bounds (a correct build never gets here; see stack_n).
-                spr[p] = jnp.minimum(sp2, stack_n - 1)
+        def visit_super(srow, sp):
+            row_i = tab_ref[srow, :]
+            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            best = t_o[...]
+            bits = jnp.zeros((P, 128), jnp.int32)
+            for k in range(16):
+                b = k * 6
+                t0x = (rowf[b + 0] - org.x) * inv.x
+                t1x = (rowf[b + 3] - org.x) * inv.x
+                t0y = (rowf[b + 1] - org.y) * inv.y
+                t1y = (rowf[b + 4] - org.y) * inv.y
+                t0z = (rowf[b + 2] - org.z) * inv.z
+                t1z = (rowf[b + 5] - org.z) * inv.z
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best))
+                bits = bits | jnp.where(t_in <= t_out,
+                                        jnp.int32(1 << k), 0)
+            mask = or_scalar(bits) & tab_ref[srow, 120]
+            sp2 = sp
+            for k in range(16):
+                ref_k = tab_ref[srow, 96 + k]
+                stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
+                sp2 = sp2 + ((mask >> k) & 1)
+            # A full stack drops pushes rather than writing out of
+            # bounds (a correct build never gets here; see stack_n).
+            spr[0] = jnp.minimum(sp2, stack_n - 1)
 
-            def visit_leaf(lrow):
-                lrow_i = tab_ref[lrow, :]
-                lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
-                best_t = t_o[sl, :]
-                prim_b = prim_o[sl, :]
-                u_b, v_b = u_o[sl, :], v_o[sl, :]
-                gx, gy, gz = gx_o[sl, :], gy_o[sl, :], gz_o[sl, :]
-                for j in range(LEAF_TRIS):
-                    b = j * 9
-                    v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
-                    e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
-                    e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
-                    pid = lrow_i[108 + j]
-                    pvec = soa.cross(d, e2)
-                    det = soa.dot(e1, pvec)
-                    inv_det = jnp.where(
-                        det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
-                    tvec = org - v0
-                    uu = soa.dot(tvec, pvec) * inv_det
-                    qvec = soa.cross(tvec, e1)
-                    vv = soa.dot(d, qvec) * inv_det
-                    tt = soa.dot(e2, qvec) * inv_det
-                    hit = ((det != 0) & (uu >= 0) & (vv >= 0)
-                           & (uu + vv <= 1) & (tt >= tnear)
-                           & (tt < best_t) & (pid >= 0))
-                    gn = soa.cross(e1, e2)
-                    if n_tris is not None:
-                        is_sph = pid >= n_tris
-                        sv = org - v0
-                        r = e1.x
-                        a2 = soa.dot(d, d)
-                        inv_a = 1.0 / jnp.where(a2 != 0, a2, 1.0)
-                        tm = -soa.dot(d, sv) * inv_a
-                        m = sv + d * tm
-                        disc = r * r - soa.dot(m, m)
-                        dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
-                        s0 = tm - dtq
-                        s1 = tm + dtq
-                        use_lo = (s0 >= tnear) & (s0 < best_t)
-                        use_hi = (s1 >= tnear) & (s1 < best_t)
-                        ts = jnp.where(use_lo, s0, s1)
-                        hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
-                              & (pid >= 0))
-                        gns = (org + d * ts) - v0
-                        tt = jnp.where(is_sph, ts, tt)
-                        # No select on i1 vectors (Mosaic limitation)
-                        hit = (is_sph & hs) | (~is_sph & hit)
-                        uu = jnp.where(is_sph, 0.0, uu)
-                        vv = jnp.where(is_sph, 0.0, vv)
-                        gn = V3(jnp.where(is_sph, gns.x, gn.x),
-                                jnp.where(is_sph, gns.y, gn.y),
-                                jnp.where(is_sph, gns.z, gn.z))
-                    prim_b = jnp.where(hit, pid, prim_b)
-                    u_b = jnp.where(hit, uu, u_b)
-                    v_b = jnp.where(hit, vv, v_b)
-                    gx = jnp.where(hit, gn.x, gx)
-                    gy = jnp.where(hit, gn.y, gy)
-                    gz = jnp.where(hit, gn.z, gz)
-                    best_t = jnp.where(hit, tt, best_t)
-                t_o[sl, :] = best_t
-                prim_o[sl, :] = prim_b
-                u_o[sl, :] = u_b
-                v_o[sl, :] = v_b
-                gx_o[sl, :] = gx
-                gy_o[sl, :] = gy
-                gz_o[sl, :] = gz
-                if any_hit:
-                    # Packet done once every live lane has a hit.
-                    pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
-                    spr[p] = jnp.where(or_scalar(pending) == 0, 0, spr[p])
+        def visit_leaf(lrow):
+            lrow_i = tab_ref[lrow, :]
+            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+            best_t = t_o[...]
+            prim_b = prim_o[...]
+            for j in range(LEAF_TRIS):
+                b = j * 9
+                v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
+                e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
+                e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
+                pid = lrow_i[108 + j]
+                pvec = soa.cross(d, e2)
+                det = soa.dot(e1, pvec)
+                inv_det = jnp.where(
+                    det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                tvec = org - v0
+                uu = soa.dot(tvec, pvec) * inv_det
+                qvec = soa.cross(tvec, e1)
+                vv = soa.dot(d, qvec) * inv_det
+                tt = soa.dot(e2, qvec) * inv_det
+                hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                       & (uu + vv <= 1) & (tt >= tnear)
+                       & (tt < best_t) & (pid >= 0))
+                if n_tris is not None:
+                    is_sph = pid >= n_tris
+                    sv = org - v0
+                    r = e1.x
+                    a2 = soa.dot(d, d)
+                    inv_a = 1.0 / jnp.where(a2 != 0, a2, 1.0)
+                    tm = -soa.dot(d, sv) * inv_a
+                    m = sv + d * tm
+                    disc = r * r - soa.dot(m, m)
+                    dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+                    s0 = tm - dtq
+                    s1 = tm + dtq
+                    use_lo = (s0 >= tnear) & (s0 < best_t)
+                    use_hi = (s1 >= tnear) & (s1 < best_t)
+                    ts = jnp.where(use_lo, s0, s1)
+                    hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
+                          & (pid >= 0))
+                    tt = jnp.where(is_sph, ts, tt)
+                    # No select on i1 vectors (Mosaic limitation)
+                    hit = (is_sph & hs) | (~is_sph & hit)
+                prim_b = jnp.where(hit, pid, prim_b)
+                best_t = jnp.where(hit, tt, best_t)
+            t_o[...] = best_t
+            prim_o[...] = prim_b
+            if any_hit:
+                # Packet done once every live lane has a hit.
+                pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
+                spr[0] = jnp.where(or_scalar(pending) == 0, 0, spr[0])
 
-            def step(sp_c):
-                """One visit for this slot; returns via spr[p]."""
-                sp = sp_c - 1
-                node = stk[p, sp]
-                is_super = node >= 0
-                # Clamped for BOTH interpretations: an out-of-range
-                # VMEM access can wedge the device.
-                srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
-                lrow = jnp.clip(
-                    jnp.where(is_super, 0, ~node)
-                    & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
-                spr[p] = sp
+        def step(sp_c):
+            """One visit; next stack pointer lands in spr[0]."""
+            sp = sp_c - 1
+            node = stk[sp]
+            is_super = node >= 0
+            # Clamped for BOTH interpretations: an out-of-range
+            # VMEM access can wedge the device.
+            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+            lrow = jnp.clip(
+                jnp.where(is_super, 0, ~node)
+                & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+            spr[0] = sp
 
-                @pl.when(is_super)
-                def _():
-                    visit_super(srow, sp)
+            @pl.when(is_super)
+            def _():
+                visit_super(srow, sp)
 
-                @pl.when(jnp.logical_not(is_super))
-                def _():
-                    visit_leaf(lrow)
-
-            return step
-
-        steps = [make_slot(p) for p in range(il)]
+            @pl.when(jnp.logical_not(is_super))
+            def _():
+                visit_leaf(lrow)
 
         def body(carry):
-            it = carry[0]
-            sps = carry[1:]
-            for p in range(il):
-                spr[p] = sps[p]
+            it, sp = carry
+            spr[0] = sp
 
-                @pl.when(sps[p] > 0)
-                def _(p=p):
-                    steps[p](sps[p])
+            @pl.when(sp > 0)
+            def _():
+                step(sp)
 
-            return (it + 1,) + tuple(spr[p] for p in range(il))
+            for _ in range(_VISITS_PER_ITER - 1):
+                sp1 = spr[0]
+
+                @pl.when(sp1 > 0)
+                def _(sp1=sp1):
+                    step(sp1)
+
+            return (it + _VISITS_PER_ITER, spr[0])
 
         def cond(carry):
-            alive = carry[1] > 0
-            for p in range(1, il):
-                alive = alive | (carry[1 + p] > 0)
-            return alive & (carry[0] < ceiling)
+            return (carry[1] > 0) & (carry[0] < ceiling)
 
-        jax.lax.while_loop(
-            cond, body, (jnp.int32(0),) + (jnp.int32(1),) * il)
+        jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(1)))
 
     return kernel
 
@@ -435,32 +411,31 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows, il):
                                              "interpret"))
 def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
                    n_tris=None, any_hit=False, interpret=False):
-    """Inputs shaped (M, 128); M a multiple of PACKET_ROWS."""
+    """Inputs shaped (M, 128); M a multiple of PACKET_ROWS.
+    Returns (t, prim) only — see _make_kernel."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     M = ox.shape[0]
     P = PACKET_ROWS
-    il = INTERLEAVE
     R = int(tab.table.shape[0])
     stack_n = int(tab.stack_dummy.shape[0])
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
-    grid = (M // (P * il),)
-    ray_spec = pl.BlockSpec((P * il, 128), lambda g: (g, 0))
-    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R, il)
-    out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32)
-                 for _ in range(6)]
-    out_shape.insert(1, jax.ShapeDtypeStruct((M, 128), jnp.int32))
+    grid = (M // P,)
+    ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
+    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R)
+    out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     f = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 7,
+        out_specs=[ray_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((P, 128), jnp.int32),
-            pltpu.SMEM((il, stack_n), jnp.int32),
-            pltpu.SMEM((il,), jnp.int32),
+            pltpu.SMEM((stack_n,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -513,7 +488,7 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = org.x.shape[0]
-    P = PACKET_ROWS * INTERLEAVE
+    P = PACKET_ROWS
     M = -(-n // (P * 128)) * P
     # Scrub non-finite inputs: integrators legitimately pass masked-off
     # lanes with garbage origins/directions, and non-finite values must
@@ -533,6 +508,7 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     tnear = _fin(tnear, 0.0)
     tfar = jnp.where(fin, jnp.clip(_fin(tfar, 3e37), -1.0, 3e37), -1.0)
     alive = tfar >= tnear
+    org0, d0 = org, d  # original order, for the hit-attribute recompute
     inv_perm = None
     if sort_rays and n > 128:
         keys = _morton_keys(tab, org, d)
@@ -550,7 +526,7 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
             (org.x, org.y, org.z, d.x, d.y, d.z, tnear)]
     # Padding tfar = -1 < tnear(=0 pad) marks dead lanes.
     tf = jnp.full((M * 128,), -1.0, REAL).at[:n].set(tfar).reshape(M, 128)
-    t, prim, u, v, gx, gy, gz = _trace_packets(
+    t, prim = _trace_packets(
         tab, *args, tf, n_tris=n_tris, any_hit=any_hit, interpret=interpret)
 
     def unflat(a):
@@ -559,9 +535,46 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
 
     # Dead lanes are marked "hit" in-kernel (any_hit early-exit); they
     # are misses to the caller.
+    t_out = unflat(t)
     prim_out = jnp.where(alive, unflat(prim), -1)
-    return (unflat(t), prim_out, unflat(u), unflat(v),
-            V3(unflat(gx), unflat(gy), unflat(gz)))
+    if any_hit:
+        zero = jnp.zeros(n, REAL)
+        return t_out, prim_out, zero, zero, V3(zero, zero, 1.0 + zero)
+    return (t_out, prim_out) + _hit_attribs(
+        tab, org0, d0, t_out, prim_out, n_tris)
+
+
+def _hit_attribs(tab: PacketTable, org: V3, d: V3, t, prim, n_tris):
+    """Recompute (u, v, unnormalized geometric normal) for the winning
+    primitive with one XLA gather of its geometry row. Cheaper than
+    carrying five more VMEM read-modify-writes through the kernel's
+    leaf loop: one gather per *ray* instead of five writes per *leaf
+    visit*."""
+    pr = jnp.maximum(prim, 0)
+    row = jnp.take(tab.geo9, pr, axis=0, mode="clip")
+    v0 = V3(row[:, 0], row[:, 1], row[:, 2])
+    e1 = V3(row[:, 3], row[:, 4], row[:, 5])
+    e2 = V3(row[:, 6], row[:, 7], row[:, 8])
+    pvec = soa.cross(d, e2)
+    det = soa.dot(e1, pvec)
+    inv_det = jnp.where(det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    tvec = org - v0
+    u = soa.dot(tvec, pvec) * inv_det
+    qvec = soa.cross(tvec, e1)
+    v = soa.dot(d, qvec) * inv_det
+    gn = soa.cross(e1, e2)
+    zero = jnp.zeros_like(u)
+    if n_tris is not None:
+        is_sph = pr >= n_tris
+        gns = (org + d * t) - v0  # v0 = sphere center
+        u = jnp.where(is_sph, 0.0, u)
+        v = jnp.where(is_sph, 0.0, v)
+        gn = soa.where(is_sph, gns, gn)
+    miss = prim < 0
+    u = jnp.where(miss, 0.0, u)
+    v = jnp.where(miss, 0.0, v)
+    gn = soa.where(miss, V3(zero, zero, 1.0 + zero), gn)
+    return u, v, gn
 
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,

@@ -662,6 +662,238 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     return out["radiance"], out["rays"]
 
 
+def _wavefront_body(static, camera, sc, st):
+    """One wavefront iteration: regenerate dead lanes with the next
+    (pixel, sample) work items, trace pending rays, collect emitter/env
+    radiance with carried-pdf MIS, NEE, sample the next bounce, RR.
+
+    Estimator-identical to trace_paths_soa (same RNG streams/counters per
+    (pixel, sample), same MIS/RR math) but runs a fixed-size lane pool at
+    ~full occupancy instead of letting the whole image drain to its
+    slowest path: the per-bounce costs that are O(batch) regardless of
+    live lanes (ray sorting, attribute gathers, the material stack) do
+    useful work every iteration. This is the wavefront analog of the
+    reference's per-thread serial loop (src/render.cpp:82-117) — sample
+    regeneration replaces tile scheduling.
+    """
+    used = static.used_material_kinds
+    n_pix = static.width * static.height
+    md = static.options.max_depth
+    n_iters = HARD_BOUNCE_CAP if md < 0 else max(md - 1, 0)
+    P = st["alive"].shape[0]
+    zero = jnp.zeros(P, REAL)
+    zero3 = V3(zero, zero, zero)
+    one3 = V3(jnp.ones(P, REAL), jnp.ones(P, REAL), jnp.ones(P, REAL))
+    eps_isect = static.intersection_epsilon
+    seed = st["seed"]
+
+    # --- regenerate dead lanes from the work queue ---
+    dead = st["alive"] <= 0
+    rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
+    item = st["next_item"] + jnp.where(dead, rank, 0)
+    issue = dead & (item < st["total"])
+    pixel = jnp.where(issue, item % jnp.uint32(n_pix), st["pixel"])
+    sample = jnp.where(issue, item // jnp.uint32(n_pix), st["sample"])
+    xs = (pixel % jnp.uint32(static.width)).astype(REAL)
+    ys = (pixel // jnp.uint32(static.width)).astype(REAL)
+    u0, u1 = soa.uniform2(seed, pixel, jnp.uint32(_CTR_PIXEL), sample)
+    porg, pd = primary_rays_soa(static, camera, xs, ys, u0, u1)
+    org = soa.where(issue, porg, st["org"])
+    d = soa.where(issue, pd, st["d"])
+    tp = soa.where(issue, one3, st["tp"])
+    pdf_prev = jnp.where(issue, 0.0, st["pdf_prev"])
+    eta_scale = jnp.where(issue, 1.0, st["eta_scale"])
+    bounce = jnp.where(issue, 0, st["bounce"])
+    alive = jnp.where(issue, True, st["alive"] > 0)
+    # rr_prev: survival prob divided out of tp at sample time; the
+    # emission collected at this ray's hit must NOT carry that division
+    # (the banded loop adds the emitter-hit contribution before RR).
+    # cont: RR verdict — a killed lane still traces this ray for its
+    # emission, then dies (matching the banded loop's trace-then-kill).
+    rr_prev = jnp.where(issue, 1.0, st["rr_prev"])
+    cont = jnp.where(issue, True, st["cont"] > 0)
+    next_item = st["next_item"] + jnp.sum(issue.astype(jnp.uint32))
+
+    # --- trace pending rays (primary tnear = 0, bounce tnear = eps) ---
+    tnear = jnp.where(bounce == 0, 0.0, eps_isect)
+    tfar = jnp.where(alive, BIG, -1.0)
+    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear, tfar)
+    v = shade_hit(static, sc, org, d, hit, gn_raw)
+    rays = st["rays"] + jnp.sum(jnp.where(alive, 1.0, 0.0))
+    v_ok = (v.valid > 0) & alive
+    miss = alive & (v.valid <= 0)
+    is_primary = pdf_prev <= 0
+
+    # --- radiance carried into this hit (reference:
+    # src/path_tracing.h:291-325; carried-pdf form of path_soa's MIS) ---
+    contrib = zero3
+    tp_emit = tp * rr_prev
+    if static.n_lights > 0:
+        hit_is_light = v_ok & (v.light_id >= 0)
+        l_emit = emission(sc, v, -1.0 * d)
+        dist2 = soa.length_squared(v.position - org)
+        g2 = jnp.abs(soa.dot(d, v.gn)) / jnp.maximum(dist2, 1e-20)
+        p2a = pdf_prev * g2
+        p1h = hit_light_pdf_soa(static, sc, org, v, d, dist2)
+        w2 = p2a * p2a / jnp.maximum(p1h * p1h + p2a * p2a, 1e-30)
+        wgt = jnp.where(is_primary, 1.0, w2)
+        contrib = contrib + soa.where(hit_is_light, tp_emit * l_emit * wgt,
+                                      zero3)
+    if static.has_envmap:
+        env = tsoa.envmap_emission_soa(_env_view(static, sc),
+                                       sc.mat_tables.pool3, d)
+        p1e = sc.light_pmf[static.envmap_light_id] * envmap_pdf_for_dir(
+            static, sc, d)
+        w2e = pdf_prev * pdf_prev / jnp.maximum(
+            p1e * p1e + pdf_prev * pdf_prev, 1e-30)
+        wgt = jnp.where(is_primary, 1.0, w2e)
+        contrib = contrib + soa.where(miss, tp_emit * env * wgt, zero3)
+
+    # --- NEE + next bounce at the hit vertex ---
+    b = bounce + 1
+    ctr = lambda c: (b.astype(jnp.uint32) * jnp.uint32(_CTR_STRIDE)
+                     + jnp.uint32(c))
+    ext = v_ok & cont & (bounce < n_iters)
+    params = msoa.gather_params_soa(
+        sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
+        static.spec_image_slots, float_tex_slots=static.float_tex_slots)
+    dir_view = -d
+    if static.n_lights > 0:
+        lu0, lu1 = soa.uniform2(seed, pixel, ctr(_CTR_LIGHT_UV), sample)
+        lw, lsw = soa.uniform2(seed, pixel, ctr(_CTR_LIGHT_W), sample)
+        nee = nee_soa(static, sc, v, params, dir_view, used,
+                      lu0, lu1, lw, lsw, ext)
+        contrib = contrib + tp * nee
+        rays = rays + jnp.sum(jnp.where(ext, 1.0, 0.0))
+
+    bu0, bu1 = soa.uniform2(seed, pixel, ctr(_CTR_BSDF_UV), sample)
+    w_lobe, u_rr = soa.uniform2(seed, pixel, ctr(_CTR_BSDF_W), sample)
+    samp = msoa.sample_bsdf_soa(params, dir_view, v.gn, v.frame,
+                                bu0, bu1, w_lobe, used)
+    f_b = msoa.eval_bsdf_soa(params, dir_view, samp.dir_out, v.gn,
+                             v.frame, used)
+    pdf_b = msoa.pdf_bsdf_soa(params, dir_view, samp.dir_out, v.gn,
+                              v.frame, used)
+    valid = ext & (samp.valid > 0) & (pdf_b > 0)
+    eta2 = jnp.where(
+        samp.eta != 0,
+        eta_scale / jnp.where(samp.eta != 0, samp.eta, 1.0) ** 2,
+        eta_scale,
+    )
+    tp_new = tp * f_b * (1.0 / jnp.maximum(pdf_b, 1e-30))
+
+    # Russian roulette (reference: src/path_tracing.h:334-341). The
+    # sampled ray is traced either way (next iteration) so its emitter
+    # hit is collected; a killed lane stops after that (cont=False),
+    # matching the banded loop's add-emission-then-kill ordering.
+    do_rr = (bounce + 2) >= static.options.rr_depth
+    rr_prob = jnp.where(
+        do_rr,
+        jnp.minimum(soa.vmax(tp_new) / jnp.maximum(eta2, 1e-20), 0.95),
+        1.0,
+    )
+    survive = (~do_rr) | (u_rr <= rr_prob)
+    tp_new = tp_new * (1.0 / jnp.maximum(rr_prob, 1e-20))
+    alive_next = valid
+
+    # --- accumulate into the image ---
+    acc_x = st["acc_x"].at[pixel].add(contrib.x)
+    acc_y = st["acc_y"].at[pixel].add(contrib.y)
+    acc_z = st["acc_z"].at[pixel].add(contrib.z)
+
+    return dict(
+        org=soa.where(alive_next, v.position, org),
+        d=soa.where(alive_next, samp.dir_out, d),
+        tp=soa.where(alive_next, tp_new, tp),
+        pdf_prev=jnp.where(alive_next, pdf_b, pdf_prev),
+        eta_scale=jnp.where(alive_next, eta2, eta_scale),
+        rr_prev=jnp.where(alive_next, rr_prob, rr_prev),
+        cont=jnp.where(alive_next, survive, cont).astype(REAL),
+        pixel=pixel,
+        sample=sample,
+        bounce=jnp.where(alive_next, b, bounce),
+        alive=alive_next.astype(REAL),
+        next_item=next_item,
+        total=st["total"],
+        seed=seed,
+        rays=rays,
+        acc_x=acc_x, acc_y=acc_y, acc_z=acc_z,
+    )
+
+
+@partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
+def _wavefront_chunk(static, camera, st, k_iters):
+    # sc rides inside st only to keep the donated pytree single; it is
+    # static data — thread it through untouched.
+    sc = st["sc"]
+
+    def body(i, s):
+        out = _wavefront_body(static, camera, sc, s)
+        out["sc"] = sc
+        return out
+
+    return jax.lax.fori_loop(0, k_iters, body, st)
+
+
+def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
+                         pool=None, k_iters=8):
+    """Wavefront path render: fixed lane pool + sample regeneration.
+
+    Produces the same estimate as render_soa's banded loop (identical
+    RNG streams per (pixel, sample)); accumulation happens on device in
+    f32 instead of host f64.
+    """
+    static = scene.static
+    w, h = static.width, static.height
+    n_pix = w * h
+    total = n_pix * spp
+    sc = scene_soa_from_aos(scene)
+    from gdpt_tpu.accel import packet_trace as pt
+
+    lane_q = pt.PACKET_ROWS * 128
+    if pool is None:
+        pool = int(__import__("os").environ.get("GDPT_POOL", 1 << 18))
+    pool = min(pool, -(-total // lane_q) * lane_q)
+    pool = -(-pool // lane_q) * lane_q
+    def z():
+        return jnp.zeros(pool, REAL)
+
+    st = dict(
+        org=V3(z(), z(), z()),
+        d=V3(jnp.ones(pool, REAL), z(), z()),
+        tp=V3(z(), z(), z()),
+        pdf_prev=jnp.zeros(pool, REAL),
+        eta_scale=jnp.ones(pool, REAL),
+        rr_prev=jnp.ones(pool, REAL),
+        cont=jnp.ones(pool, REAL),
+        pixel=jnp.zeros(pool, jnp.uint32),
+        sample=jnp.zeros(pool, jnp.uint32),
+        bounce=jnp.zeros(pool, INT),
+        alive=jnp.zeros(pool, REAL),
+        next_item=jnp.asarray(0, jnp.uint32),
+        total=jnp.asarray(total, jnp.uint32),
+        seed=jnp.asarray(seed, jnp.uint32),
+        rays=jnp.asarray(0.0, REAL),
+        acc_x=jnp.zeros(n_pix, REAL),
+        acc_y=jnp.zeros(n_pix, REAL),
+        acc_z=jnp.zeros(n_pix, REAL),
+        sc=sc,
+    )
+    while True:
+        st = _wavefront_chunk(static, scene.device.camera, st, k_iters)
+        done = int(st["next_item"]) >= total
+        if done and float(jnp.max(st["alive"])) <= 0:
+            break
+    acc = np.stack([np.asarray(st["acc_x"], np.float64),
+                    np.asarray(st["acc_y"], np.float64),
+                    np.asarray(st["acc_z"], np.float64)])
+    img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
+    img = np.where(np.isfinite(img), img, 0.0)
+    if return_stats:
+        return img, float(st["rays"])
+    return img
+
+
 @partial(jax.jit, static_argnames=("static", "n_samples"))
 def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
     """n_samples accumulated samples for the whole ray batch (jitted once
@@ -696,6 +928,18 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
     n = w * h
+    import os as _os
+
+    if (not static.use_brute_force and on_chunk is None
+            and init_acc is None and not start_sample
+            and _os.environ.get("GDPT_WAVEFRONT", "1") != "0"):
+        # BVH scenes: the wavefront pool keeps every dispatch at ~full
+        # occupancy (sample regeneration); the banded loop below pays
+        # full-batch sort/gather/material cost per bounce even when most
+        # lanes are dead. Checkpointing resume stays on the banded loop
+        # (whole-sample accumulation boundaries).
+        return render_soa_wavefront(scene, spp, seed=seed,
+                                    return_stats=return_stats)
     sc = scene_soa_from_aos(scene)
     ys, xs = np.mgrid[0:h, 0:w]
     xs_d = jnp.asarray(xs.ravel(), REAL)

@@ -17,12 +17,6 @@ from test_super16 import _soup, _brute, _rays, _v3
 import pytest
 
 
-@pytest.fixture(autouse=True)
-def _single_slot(monkeypatch):
-    # Interpret mode gains nothing from interleaving; keep tests fast.
-    monkeypatch.setattr(pt, "INTERLEAVE", 1)
-
-
 def _table(v0, v1, v2, **kw):
     e1, e2 = v1 - v0, v2 - v0
     arr = gbvh.build_bvh(v0, v1, v2, **kw)
