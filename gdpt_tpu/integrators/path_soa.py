@@ -47,6 +47,14 @@ _CTR_STRIDE = 16
 
 class SceneSoA(NamedTuple):
     geom: trs.GeomSoA
+    # Fused per-triangle attribute rows (T, 20) f32: n0 n1 n2 (9),
+    # uv0 uv1 uv2 (6), shape_id, has_normals, has_uvs, material_id,
+    # light_id (ids as exact small floats — never bitcast int payloads
+    # through f32 tables, see accel/super16.py's NaN note). One wide row
+    # gather per hit replaces ~18 per-column gathers: on TPU an N-row
+    # gather costs the same up to ~448B of width, and the per-gather
+    # dispatch (~4ms per 350k lanes) dominated shade_hit.
+    tri_attr: jnp.ndarray
     # Per-triangle flattened vertex attributes: one gather level instead of
     # tri_index -> vtx chains (XLA demotes chained small-table gathers in
     # while loops to ~100ms host-read fusions on TPU).
@@ -115,8 +123,23 @@ def scene_soa_from_aos(scene: Scene, use_packet=True) -> SceneSoA:
     else:
         n0 = n1 = n2 = np.zeros((0, 3), np.float32)
         uv0 = uv1 = uv2 = np.zeros((0, 2), np.float32)
+    t_shape = np.asarray(dev.geom.tri_shape_id)
+    shape_mat = np.asarray(dev.shape_material_id)
+    shape_lgt = np.asarray(dev.shape_light_id)
+    tri_attr = np.concatenate(
+        [n0, n1, n2, uv0, uv1, uv2,
+         t_shape[:, None].astype(np.float32),
+         np.asarray(dev.tri_has_normals)[:, None].astype(np.float32),
+         np.asarray(dev.tri_has_uvs)[:, None].astype(np.float32),
+         (shape_mat[t_shape][:, None] if t_shape.size
+          else np.zeros((0, 1))).astype(np.float32),
+         (shape_lgt[t_shape][:, None] if t_shape.size
+          else np.zeros((0, 1))).astype(np.float32)],
+        axis=1).astype(np.float32) if idx.shape[0] else \
+        np.zeros((0, 20), np.float32)
     return SceneSoA(
         geom=trs.geom_soa_from_aos(dev.geom, use_packet=use_packet),
+        tri_attr=jnp.asarray(tri_attr),
         tri_n0=soa.from_rows(jnp.asarray(n0)),
         tri_n1=soa.from_rows(jnp.asarray(n1)),
         tri_n2=soa.from_rows(jnp.asarray(n2)),
@@ -196,8 +219,11 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     # reference: src/shapes/triangle_mesh.inl:84-90.
     uv_u = hit.u + hit.v
     uv_v = hit.v
+    tri_mat_id = None
+    tri_light_id = None
     if static.n_tris:
         tid = jnp.clip(prim, 0, static.n_tris - 1)
+        attr = jnp.take(sc.tri_attr, tid, axis=0, mode="clip")
         if gn_raw is not None:
             gn_tri = soa.normalize(gn_raw)
         else:
@@ -205,34 +231,30 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
             e2 = soa.gather(sc.geom.tri_e2, tid)
             gn_tri = soa.normalize(soa.cross(e1, e2))
         if static.any_mesh_normals:
-            has_n = soa.take(sc.tri_has_normals, tid)
+            has_n = attr[:, 16] > 0
             b1 = hit.u
             b2 = hit.v
             b0 = 1.0 - b1 - b2
             n_interp = soa.normalize(
-                soa.gather(sc.tri_n0, tid) * b0
-                + soa.gather(sc.tri_n1, tid) * b1
-                + soa.gather(sc.tri_n2, tid) * b2
+                V3(attr[:, 0], attr[:, 1], attr[:, 2]) * b0
+                + V3(attr[:, 3], attr[:, 4], attr[:, 5]) * b1
+                + V3(attr[:, 6], attr[:, 7], attr[:, 8]) * b2
             )
             sn_tri = soa.where(has_n, n_interp, gn_tri)
         else:
             sn_tri = gn_tri
         gn = gn_tri
         sn = sn_tri
-        shape_id = soa.take(sc.tri_shape_id, tid)
+        shape_id = attr[:, 15].astype(INT)
+        tri_mat_id = attr[:, 18].astype(INT)
+        tri_light_id = attr[:, 19].astype(INT)
         if static.any_mesh_uvs:
-            has_uv = soa.take(sc.tri_has_uvs, tid)
+            has_uv = attr[:, 17] > 0
             b0u = 1.0 - hit.u - hit.v
-            iu = (
-                soa.take(sc.tri_uv0_u, tid) * b0u
-                + soa.take(sc.tri_uv1_u, tid) * hit.u
-                + soa.take(sc.tri_uv2_u, tid) * hit.v
-            )
-            iv = (
-                soa.take(sc.tri_uv0_v, tid) * b0u
-                + soa.take(sc.tri_uv1_v, tid) * hit.u
-                + soa.take(sc.tri_uv2_v, tid) * hit.v
-            )
+            iu = (attr[:, 9] * b0u + attr[:, 11] * hit.u
+                  + attr[:, 13] * hit.v)
+            iv = (attr[:, 10] * b0u + attr[:, 12] * hit.u
+                  + attr[:, 14] * hit.v)
             uv_u = jnp.where(has_uv, iu, uv_u)
             uv_v = jnp.where(has_uv, iv, uv_v)
     if static.n_spheres:
@@ -256,6 +278,11 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     frame = soa.coordinate_system(sn)
     flip = soa.dot(gn, sn) < 0
     gn = soa.where(flip, -gn, gn)
+    if tri_mat_id is not None and not static.n_spheres:
+        material_id, light_id = tri_mat_id, tri_light_id
+    else:
+        material_id = soa.take(sc.shape_material_id, shape_id)
+        light_id = soa.take(sc.shape_light_id, shape_id)
     return VertexSoA(
         position=position,
         gn=gn,
@@ -263,8 +290,8 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         uv_u=uv_u,
         uv_v=uv_v,
         shape_id=shape_id,
-        material_id=soa.take(sc.shape_material_id, shape_id),
-        light_id=soa.take(sc.shape_light_id, shape_id),
+        material_id=material_id,
+        light_id=light_id,
         valid=(hit.prim_id >= 0).astype(REAL),
     )
 
