@@ -849,15 +849,12 @@ def _wavefront_body(static, camera, sc, st):
 
 
 @partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
-def _wavefront_chunk(static, camera, st, k_iters):
-    # sc rides inside st only to keep the donated pytree single; it is
-    # static data — thread it through untouched.
-    sc = st["sc"]
-
+def _wavefront_chunk(static, camera, st, sc, k_iters):
+    # sc must NOT ride inside the donated pytree: donation deletes the
+    # caller's scene buffers, which alias scene.device (any later use of
+    # the scene — a second render, the GDPT driver — would crash).
     def body(i, s):
-        out = _wavefront_body(static, camera, sc, s)
-        out["sc"] = sc
-        return out
+        return _wavefront_body(static, camera, sc, s)
 
     return jax.lax.fori_loop(0, k_iters, body, st)
 
@@ -904,10 +901,9 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
         acc_x=jnp.zeros(n_pix, REAL),
         acc_y=jnp.zeros(n_pix, REAL),
         acc_z=jnp.zeros(n_pix, REAL),
-        sc=sc,
     )
     while True:
-        st = _wavefront_chunk(static, scene.device.camera, st, k_iters)
+        st = _wavefront_chunk(static, scene.device.camera, st, sc, k_iters)
         done = int(st["next_item"]) >= total
         if done and float(jnp.max(st["alive"])) <= 0:
             break
