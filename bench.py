@@ -14,7 +14,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
-SCENES = _SCENE_ROOT + ""
+SCENES = _SCENE_ROOT
 
 
 def _render(scene, spp, seed=0):

@@ -53,6 +53,10 @@ LEAF_TRIS = 12           # per leaf row: 12*9 geometry + 12 prim ids = 120
 _CHAIN_SHIFT = 22        # leaf ref: start | (n_rows << 22)
 MAX_TABLE_BYTES = 12 << 20   # VMEM residency cap (leave room for rays)
 PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays per packet = PACKET_ROWS * 128
+# or_scalar's roll-OR tree only covers every row when P is a power of
+# two; a stray value like 6 would silently drop child-mask lanes.
+assert PACKET_ROWS > 0 and (PACKET_ROWS & (PACKET_ROWS - 1)) == 0, \
+    f"GDPT_PACKET_ROWS must be a power of two, got {PACKET_ROWS}"
 
 
 class PacketTable(NamedTuple):

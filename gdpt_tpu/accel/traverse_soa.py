@@ -114,7 +114,7 @@ def _use_packet():
     return jax.default_backend() == "tpu"
 
 
-def geom_soa_from_aos(geom, use_packet=True) -> GeomSoA:
+def geom_soa_from_aos(geom) -> GeomSoA:
     nodes48 = _pack_bvh(geom)
     packet = None
     sup16 = None
@@ -122,12 +122,11 @@ def geom_soa_from_aos(geom, use_packet=True) -> GeomSoA:
     if n_prims > 128 and _use_packet():
         from gdpt_tpu.accel import packet_trace, super16 as s16
 
-        if use_packet:
-            packet = packet_trace.build_packet_table(
-                geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
-                geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
-                geom.tri_v0, geom.tri_e1, geom.tri_e2,
-                geom.sph_center, geom.sph_radius)
+        packet = packet_trace.build_packet_table(
+            geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
+            geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
+            geom.tri_v0, geom.tri_e1, geom.tri_e2,
+            geom.sph_center, geom.sph_radius)
         if packet is None:
             sup16 = s16.build_super16(
                 geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,

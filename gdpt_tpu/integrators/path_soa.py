@@ -110,7 +110,7 @@ def supports_soa(scene: Scene) -> bool:
     return msoa.supports_soa_materials(scene)
 
 
-def scene_soa_from_aos(scene: Scene, use_packet=True) -> SceneSoA:
+def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
     env_rgb = dev.envmap.tex.value[0]
@@ -138,7 +138,7 @@ def scene_soa_from_aos(scene: Scene, use_packet=True) -> SceneSoA:
         axis=1).astype(np.float32) if idx.shape[0] else \
         np.zeros((0, 20), np.float32)
     return SceneSoA(
-        geom=trs.geom_soa_from_aos(dev.geom, use_packet=use_packet),
+        geom=trs.geom_soa_from_aos(dev.geom),
         tri_attr=jnp.asarray(tri_attr),
         tri_n0=soa.from_rows(jnp.asarray(n0)),
         tri_n1=soa.from_rows(jnp.asarray(n1)),

@@ -23,10 +23,27 @@ def _fingerprint(scene, spp, seed):
     """Deterministic digest of everything the accumulator depends on.
 
     SceneStatic is a frozen dataclass of plain ints/floats/tuples, so its
-    repr is stable across processes (unlike Python hash()).
+    repr is stable across processes (unlike Python hash()). Static facts
+    alone are not enough: two renders of the same scene file with an
+    edited light or material value share every count/flag, so the digest
+    also folds in the scene *content* — every device-array leaf's
+    shape/dtype plus its bytes (strided sampling for large buffers keeps
+    the hash cheap on multi-MB meshes while still catching edits).
     """
-    blob = f"{scene.static!r}|spp={spp}|seed={seed}|v2"
-    return hashlib.sha1(blob.encode()).hexdigest()
+    import jax
+
+    h = hashlib.sha1(f"{scene.static!r}|spp={spp}|seed={seed}|v3".encode())
+    leaves = jax.tree_util.tree_leaves(scene.device)
+    for leaf in leaves:
+        a = np.asarray(leaf)
+        h.update(f"|{a.shape}{a.dtype}".encode())
+        b = a.tobytes()
+        if len(b) > 65536:
+            h.update(b[::97])
+            h.update(b[-4096:])
+        else:
+            h.update(b)
+    return h.hexdigest()
 
 
 def save_checkpoint(path, acc, samples_done, fingerprint=""):
