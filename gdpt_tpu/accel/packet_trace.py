@@ -203,10 +203,20 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         return np.int32(~np.int32(leaf_start[fi] | (nr << _CHAIN_SHIFT)))
 
     for si in range(n_super):
+        kids = [c for c in kids_of[si] if c is not None]
+        # Children are stored sorted by centroid (ascending) along the
+        # axis of greatest centroid spread; the kernel pushes slots
+        # forward or backward depending on the packet's direction sign
+        # along that axis, so pops come nearest-first and best-t
+        # shrinks as early as possible (ordered traversal).
+        axis = 0
+        if kids:
+            cen = (bmin[kids] + bmax[kids]) * 0.5
+            axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
+            kids = [kids[j] for j in np.argsort(cen[:, axis],
+                                                kind="stable")]
         valid = 0
-        for k, c in enumerate(kids_of[si]):
-            if c is None:
-                continue
+        for k, c in enumerate(kids):
             table[si, k * 6 + 0: k * 6 + 3] = bmin[c]
             table[si, k * 6 + 3: k * 6 + 6] = bmax[c]
             valid |= 1 << k
@@ -218,6 +228,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         # unused slot by geometry alone (inverted boxes still pass once
         # min/max mix the +-inf slabs), so the scalar mask ANDs this in.
         ti[si, 120] = valid
+        ti[si, 121] = axis  # sort axis for the ordered push
 
     for li, (a, cnt) in enumerate(leaf_rows):
         row = n_super + li
@@ -279,6 +290,11 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                  1.0 / jnp.where(d.y == 0, 1e-20, d.y),
                  1.0 / jnp.where(d.z == 0, 1e-20, d.z))
         tnear = tn[...]
+        # Packet-representative direction signs for the ordered push:
+        # lane (0,0) stands in for the packet (morton sort groups rays
+        # by octant, so its signs match almost every lane). Scalar VMEM
+        # reads at static indices are free.
+        sx, sy, sz = dx[0, 0], dy[0, 0], dz[0, 0]
 
         def visit_super(srow, sp):
             row_i = tab_ref[srow, :]
@@ -304,14 +320,31 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                 bits = bits | jnp.where(t_in <= t_out,
                                         jnp.int32(1 << k), 0)
             mask = or_scalar(bits) & tab_ref[srow, 120]
-            sp2 = sp
-            for k in range(16):
-                ref_k = tab_ref[srow, 96 + k]
-                stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
-                sp2 = sp2 + ((mask >> k) & 1)
-            # A full stack drops pushes rather than writing out of
-            # bounds (a correct build never gets here; see stack_n).
-            spr[0] = jnp.minimum(sp2, stack_n - 1)
+            # Ordered push: children sit in the row sorted ascending by
+            # centroid along tab[srow,121]. When the packet's direction
+            # along that axis is positive the nearest child is slot 0,
+            # so slots are pushed in descending order (popped 0 first);
+            # negative direction pushes ascending.
+            axis = tab_ref[srow, 121]
+            sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+            def push(ks):
+                sp2 = sp
+                for k in ks:
+                    ref_k = tab_ref[srow, 96 + k]
+                    stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
+                    sp2 = sp2 + ((mask >> k) & 1)
+                # A full stack drops pushes rather than writing out of
+                # bounds (a correct build never gets here; see stack_n).
+                spr[0] = jnp.minimum(sp2, stack_n - 1)
+
+            @pl.when(sgn > 0)
+            def _():
+                push(range(15, -1, -1))
+
+            @pl.when(sgn <= 0)
+            def _():
+                push(range(16))
 
         def visit_leaf(lrow):
             lrow_i = tab_ref[lrow, :]
@@ -358,6 +391,14 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                     hit = (is_sph & hs) | (~is_sph & hit)
                 prim_b = jnp.where(hit, pid, prim_b)
                 best_t = jnp.where(hit, tt, best_t)
+            if any_hit:
+                # A hit lane is done: collapse its interval so every
+                # later box/tri test fails (t_in >= tnear > t_out) and
+                # the lane stops inflating the packet's visit union.
+                # Without this, one unoccluded lane keeps tfar at the
+                # light distance for the whole walk and any-hit runs
+                # SLOWER than closest-hit (no best-t shrinkage).
+                best_t = jnp.where(prim_b >= 0, jnp.float32(-3e38), best_t)
             t_o[...] = best_t
             prim_o[...] = prim_b
             if any_hit:

@@ -7,13 +7,12 @@ TPU's VPU lanes (see core/soa.py). Cross-validated against the per-ray
 implementation in tests/test_soa.py.
 
 Coverage: the full 9-material stack (ops/materials_soa.py) with
-constant/checkerboard/image spectrum slots and constant float slots,
-mesh + sphere area lights, constant and image environment maps
-(ops/textures_soa.py; image lookups are level-0 bilinear — the per-ray
-path keeps trilinear mip filtering, which makes its BSDF-escape envmap
-lookups blurrier than its pdf table; the SoA estimator is the
-self-consistent one). Scenes with textured float slots fall back to the
-per-ray integrator (render.py picks automatically via supports_soa()).
+constant/checkerboard/image spectrum and float slots, mesh + sphere
+area lights, constant and image environment maps. Image lookups carry
+per-lane ray differentials (radius/spread in the loop state, per-tri
+footprint constants in tri_attr cols 20-21) into trilinear mip
+filtering, matching the per-ray path's eval_texture
+(reference: src/texture.h:129-139, src/mipmap.h:76-88).
 """
 
 from functools import partial
@@ -126,6 +125,58 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     t_shape = np.asarray(dev.geom.tri_shape_id)
     shape_mat = np.asarray(dev.shape_material_id)
     shape_lgt = np.asarray(dev.shape_light_id)
+    if idx.shape[0]:
+        # Per-triangle footprint constants (cols 20-21): inv_uv_size =
+        # max(|dpdu|, |dpdv|) and mean curvature from dn/du, dn/dv
+        # evaluated with the centroid shading normal — constants of the
+        # triangle, so they ride in the fused attribute row instead of
+        # being recomputed per hit (reference: src/intersection.cpp:33-56).
+        p0 = np.asarray(dev.geom.tri_v0, np.float32)
+        e1c = np.asarray(dev.geom.tri_e1, np.float32)
+        e2c = np.asarray(dev.geom.tri_e2, np.float32)
+        dpds, dpdt = e2c, e2c - e1c          # p2-p0, p2-p1
+        # Fallback bary uvs ((0,0),(1,0),(1,1)) when the mesh has no
+        # uvs, exactly as ops/intersect.py:_mesh_shading.
+        huv = (np.asarray(dev.tri_has_uvs) > 0)[:, None]
+        uv0d = np.where(huv, uv0, np.float32([0.0, 0.0]))
+        uv1d = np.where(huv, uv1, np.float32([1.0, 0.0]))
+        uv2d = np.where(huv, uv2, np.float32([1.0, 1.0]))
+        duvds = uv2d - uv0d
+        duvdt = uv2d - uv1d
+        det = duvds[:, 0] * duvdt[:, 1] - duvdt[:, 0] * duvds[:, 1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            inv_det = np.where(det != 0, 1.0 / np.where(det != 0, det, 1), 0)
+        dsdu = duvdt[:, 1] * inv_det
+        dtdu = -duvds[:, 1] * inv_det
+        dsdv = -duvdt[:, 0] * inv_det
+        dtdv = duvds[:, 0] * inv_det
+        dpdu = dpds * dsdu[:, None] + dpdt * dtdu[:, None]
+        dpdv = dpds * dsdv[:, None] + dpdt * dtdv[:, None]
+        degen = np.abs(det) <= 1e-8
+        inv_uv = np.where(
+            degen, 1.0,
+            np.maximum(np.linalg.norm(dpdu, axis=1),
+                       np.linalg.norm(dpdv, axis=1))).astype(np.float32)
+        gn_h = np.cross(e1c, e2c)
+        sn_h = n0 + n1 + n2
+        nrm = np.linalg.norm(sn_h, axis=1, keepdims=True)
+        sn_h = np.where(nrm > 1e-20, sn_h / np.maximum(nrm, 1e-20),
+                        gn_h / np.maximum(
+                            np.linalg.norm(gn_h, axis=1, keepdims=True),
+                            1e-20))
+        tan = dpdu - sn_h * (sn_h * dpdu).sum(1, keepdims=True)
+        tn = np.linalg.norm(tan, axis=1, keepdims=True)
+        tan = tan / np.maximum(tn, 1e-20)
+        bit = np.cross(sn_h, tan)
+        bit /= np.maximum(np.linalg.norm(bit, axis=1, keepdims=True), 1e-20)
+        dnds, dndt = n2 - n0, n2 - n1
+        dndu = dnds * dsdu[:, None] + dndt * dtdu[:, None]
+        dndv = dnds * dsdv[:, None] + dndt * dtdv[:, None]
+        has_n_h = np.asarray(dev.tri_has_normals) > 0
+        mc = np.where(
+            has_n_h,
+            0.5 * ((dndu * tan).sum(1) + (dndv * bit).sum(1)),
+            0.0).astype(np.float32)
     tri_attr = np.concatenate(
         [n0, n1, n2, uv0, uv1, uv2,
          t_shape[:, None].astype(np.float32),
@@ -134,9 +185,10 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
          (shape_mat[t_shape][:, None] if t_shape.size
           else np.zeros((0, 1))).astype(np.float32),
          (shape_lgt[t_shape][:, None] if t_shape.size
-          else np.zeros((0, 1))).astype(np.float32)],
+          else np.zeros((0, 1))).astype(np.float32),
+         inv_uv[:, None], mc[:, None]],
         axis=1).astype(np.float32) if idx.shape[0] else \
-        np.zeros((0, 20), np.float32)
+        np.zeros((0, 22), np.float32)
     return SceneSoA(
         geom=trs.geom_soa_from_aos(dev.geom),
         tri_attr=jnp.asarray(tri_attr),
@@ -202,19 +254,29 @@ class VertexSoA(NamedTuple):
     light_id: jnp.ndarray
     valid: jnp.ndarray  # f32 mask (0/1): pred buffers have a slow packed
     #                     layout on TPU, so masks cross op boundaries as f32
+    # Ray-differential footprint at the vertex (zeros when the caller
+    # doesn't track differentials): transferred ray radius, uv-space
+    # screen footprint (uv_screen_size), and surface mean curvature.
+    radius: jnp.ndarray = None
+    fp: jnp.ndarray = None
+    mean_curv: jnp.ndarray = None
 
 
 def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
-              gn_raw: V3 = None) -> VertexSoA:
+              gn_raw: V3 = None, ray_radius=None, ray_spread=None) -> VertexSoA:
     """Batched hit -> vertex (reference: src/intersection.cpp:7-64).
     gn_raw: optional unnormalized geometric normal from the intersect
-    kernel (skips the triangle regather)."""
+    kernel (skips the triangle regather). ray_radius/ray_spread: per-lane
+    ray differentials; when given, the vertex carries the transferred
+    radius and uv-space footprint for mip-filtered texture lookups."""
     position = org + d * hit.t
     prim = jnp.maximum(hit.prim_id, 0)
     n = prim.shape[0]
     gn = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL), jnp.ones(n, REAL))
     sn = gn
     shape_id = jnp.zeros(n, INT)
+    inv_uv = jnp.ones(n, REAL)
+    mean_curv = jnp.zeros(n, REAL)
     # Barycentric fallback uv mapping ((0,0),(1,0),(1,1)) as in
     # reference: src/shapes/triangle_mesh.inl:84-90.
     uv_u = hit.u + hit.v
@@ -248,6 +310,8 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         shape_id = attr[:, 15].astype(INT)
         tri_mat_id = attr[:, 18].astype(INT)
         tri_light_id = attr[:, 19].astype(INT)
+        inv_uv = attr[:, 20]
+        mean_curv = attr[:, 21]
         if static.any_mesh_uvs:
             has_uv = attr[:, 17] > 0
             b0u = 1.0 - hit.u - hit.v
@@ -275,6 +339,13 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         su = jnp.where(su < 0, su + 1.0, su)
         uv_u = jnp.where(is_sph, su, uv_u)
         uv_v = jnp.where(is_sph, elev / jnp.pi, uv_v)
+        # Footprint constants (reference: src/shapes/sphere.inl:265-268):
+        # |dpdu| = r sin(elev), |dpdv| = r, mean curvature 1/r.
+        r_s = soa.take(sc.geom.sph_radius, sid)
+        ius_s = 0.5 * (r_s * jnp.sin(elev) + r_s)
+        inv_uv = jnp.where(is_sph, ius_s, inv_uv)
+        mean_curv = jnp.where(is_sph, 1.0 / jnp.maximum(r_s, 1e-20),
+                              mean_curv)
     frame = soa.coordinate_system(sn)
     flip = soa.dot(gn, sn) < 0
     gn = soa.where(flip, -gn, gn)
@@ -283,6 +354,12 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     else:
         material_id = soa.take(sc.shape_material_id, shape_id)
         light_id = soa.take(sc.shape_light_id, shape_id)
+    if ray_radius is None:
+        radius_t = jnp.zeros(n, REAL)
+        fp = jnp.zeros(n, REAL)
+    else:
+        radius_t = ray_radius + ray_spread * hit.t
+        fp = radius_t / jnp.maximum(inv_uv, 1e-20)
     return VertexSoA(
         position=position,
         gn=gn,
@@ -293,6 +370,9 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
         material_id=material_id,
         light_id=light_id,
         valid=(hit.prim_id >= 0).astype(REAL),
+        radius=radius_t,
+        fp=fp,
+        mean_curv=mean_curv,
     )
 
 
@@ -473,6 +553,8 @@ def nee_soa(static, sc: SceneSoA, v: VertexSoA, params, dir_view: V3,
     p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
     f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
     p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
+    # Footprint 0 for NEE env taps, matching the per-ray path
+    # (path.py:67 passes view_footprint = 0.0 -> level-0 lookup).
     env_nee = (
         tsoa.envmap_emission_soa(_env_view(static, sc),
                                  sc.mat_tables.pool3, dl)
@@ -544,8 +626,11 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     u0, u1 = uni2(0, _CTR_PIXEL)
     org, d = primary_rays_soa(static, camera, xs, ys, u0, u1)
 
+    # Ray differentials (reference: src/ray.h:36-38).
+    spread0 = jnp.full(n, 0.25 / max(w, h), REAL)
     hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, 0.0, BIG)
-    vertex = shade_hit(static, sc, org, d, hit, gn_raw)
+    vertex = shade_hit(static, sc, org, d, hit, gn_raw,
+                       ray_radius=jnp.zeros(n, REAL), ray_spread=spread0)
     rays = jnp.ones(n, REAL)
 
     zero = jnp.zeros(n, REAL)
@@ -553,7 +638,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
     radiance = soa.where(v_ok, emission(sc, vertex, -d), V3(zero, zero, zero))
     if static.has_envmap:
         env_primary = tsoa.envmap_emission_soa(
-            _env_view(static, sc), sc.mat_tables.pool3, d
+            _env_view(static, sc), sc.mat_tables.pool3, d, spread=spread0
         )
         radiance = soa.where(v_ok, radiance, env_primary)
 
@@ -566,6 +651,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         eta_scale=jnp.ones(n, REAL),
         d=d,
         vertex=vertex,
+        spread=spread0,
         active=vertex.valid,  # f32 mask
         bounce=jnp.asarray(0, INT),
         rays=rays,
@@ -587,6 +673,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
             static.spec_image_slots,
             float_tex_slots=static.float_tex_slots,
+            fp=v.fp,
         )
         rays = s["rays"]
 
@@ -615,12 +702,21 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             s["eta_scale"] / jnp.where(samp.eta != 0, samp.eta, 1.0) ** 2,
             s["eta_scale"],
         )
+        # Ray-differential spread update (scene/camera.py
+        # ray_diff_reflect/refract; reference: src/ray.h:41-57).
+        is_tr = samp.eta != 0
+        spec_spread = s["spread"] + 2.0 * v.mean_curv * v.radius
+        spec_spread = jnp.where(
+            is_tr, spec_spread / jnp.where(is_tr, samp.eta, 1.0), spec_spread)
+        spread = jnp.maximum(
+            spec_spread * (1.0 - samp.roughness) + 0.2 * samp.roughness, 0.0)
 
         nxt_hit, nxt_gn = trs.intersect_soa_gn(
             static, sc.geom, v.position, d_out, eps_isect,
             jnp.where(active, BIG, -1.0)
         )
-        nxt = shade_hit(static, sc, v.position, d_out, nxt_hit, nxt_gn)
+        nxt = shade_hit(static, sc, v.position, d_out, nxt_hit, nxt_gn,
+                        ray_radius=v.radius, ray_spread=spread)
         nxt_ok = nxt.valid > 0
         dist2 = soa.length_squared(nxt.position - v.position)
         g2 = jnp.where(
@@ -646,7 +742,8 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
             scale = g2 * w2e / jnp.maximum(p2a, 1e-30)
             env_hit = tsoa.envmap_emission_soa(
-                _env_view(static, sc), sc.mat_tables.pool3, d_out
+                _env_view(static, sc), sc.mat_tables.pool3, d_out,
+                spread=spread
             )
             contrib = s["throughput"] * f_b * env_hit * scale
             radiance = radiance + soa.where(miss, contrib, V3(zero, zero, zero))
@@ -675,6 +772,7 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
             eta_scale=jnp.where(active, eta_scale, s["eta_scale"]),
             d=soa.where(active, d_out, d),
             vertex=new_vertex,
+            spread=jnp.where(active, spread, s["spread"]),
             active=active.astype(REAL),
             bounce=s["bounce"] + 1,
             rays=rays,
@@ -740,12 +838,18 @@ def _wavefront_body(static, camera, sc, st):
     rr_prev = jnp.where(issue, 1.0, st["rr_prev"])
     cont = jnp.where(issue, True, st["cont"] > 0)
     next_item = st["next_item"] + jnp.sum(issue.astype(jnp.uint32))
+    # Ray differentials: fresh lanes restart at radius 0 / camera spread
+    # (reference: src/ray.h:36-38).
+    radius = jnp.where(issue, 0.0, st["radius"])
+    spread = jnp.where(issue, 0.25 / max(static.width, static.height),
+                       st["spread"])
 
     # --- trace pending rays (primary tnear = 0, bounce tnear = eps) ---
     tnear = jnp.where(bounce == 0, 0.0, eps_isect)
     tfar = jnp.where(alive, BIG, -1.0)
     hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear, tfar)
-    v = shade_hit(static, sc, org, d, hit, gn_raw)
+    v = shade_hit(static, sc, org, d, hit, gn_raw,
+                  ray_radius=radius, ray_spread=spread)
     rays = st["rays"] + jnp.sum(jnp.where(alive, 1.0, 0.0))
     v_ok = (v.valid > 0) & alive
     miss = alive & (v.valid <= 0)
@@ -768,7 +872,7 @@ def _wavefront_body(static, camera, sc, st):
                                       zero3)
     if static.has_envmap:
         env = tsoa.envmap_emission_soa(_env_view(static, sc),
-                                       sc.mat_tables.pool3, d)
+                                       sc.mat_tables.pool3, d, spread=spread)
         p1e = sc.light_pmf[static.envmap_light_id] * envmap_pdf_for_dir(
             static, sc, d)
         w2e = pdf_prev * pdf_prev / jnp.maximum(
@@ -783,7 +887,8 @@ def _wavefront_body(static, camera, sc, st):
     ext = v_ok & cont & (bounce < n_iters)
     params = msoa.gather_params_soa(
         sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
-        static.spec_image_slots, float_tex_slots=static.float_tex_slots)
+        static.spec_image_slots, float_tex_slots=static.float_tex_slots,
+        fp=v.fp)
     dir_view = -d
     if static.n_lights > 0:
         lu0, lu1 = soa.uniform2(seed, pixel, ctr(_CTR_LIGHT_UV), sample)
@@ -807,6 +912,14 @@ def _wavefront_body(static, camera, sc, st):
         eta_scale / jnp.where(samp.eta != 0, samp.eta, 1.0) ** 2,
         eta_scale,
     )
+    # Spread update for the sampled bounce (scene/camera.py
+    # ray_diff_reflect/refract; reference: src/ray.h:41-57).
+    is_tr = samp.eta != 0
+    spec_spread = spread + 2.0 * v.mean_curv * v.radius
+    spec_spread = jnp.where(
+        is_tr, spec_spread / jnp.where(is_tr, samp.eta, 1.0), spec_spread)
+    spread_next = jnp.maximum(
+        spec_spread * (1.0 - samp.roughness) + 0.2 * samp.roughness, 0.0)
     tp_new = tp * f_b * (1.0 / jnp.maximum(pdf_b, 1e-30))
 
     # Russian roulette (reference: src/path_tracing.h:334-341). The
@@ -836,6 +949,8 @@ def _wavefront_body(static, camera, sc, st):
         eta_scale=jnp.where(alive_next, eta2, eta_scale),
         rr_prev=jnp.where(alive_next, rr_prob, rr_prev),
         cont=jnp.where(alive_next, survive, cont).astype(REAL),
+        radius=jnp.where(alive_next, v.radius, radius),
+        spread=jnp.where(alive_next, spread_next, spread),
         pixel=pixel,
         sample=sample,
         bounce=jnp.where(alive_next, b, bounce),
@@ -890,6 +1005,8 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
         eta_scale=jnp.ones(pool, REAL),
         rr_prev=jnp.ones(pool, REAL),
         cont=jnp.ones(pool, REAL),
+        radius=jnp.zeros(pool, REAL),
+        spread=jnp.zeros(pool, REAL),
         pixel=jnp.zeros(pool, jnp.uint32),
         sample=jnp.zeros(pool, jnp.uint32),
         bounce=jnp.zeros(pool, INT),

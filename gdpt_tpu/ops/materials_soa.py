@@ -110,7 +110,7 @@ def supports_soa_materials(scene) -> bool:
 
 
 def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v,
-                    img_used: bool) -> V3:
+                    img_used: bool, fp=None) -> V3:
     from gdpt_tpu.ops import textures_soa as tsoa
 
     i = _SPEC_SLOTS.index(slot)
@@ -118,8 +118,9 @@ def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v,
     c0 = soa.gather(tables.spec_c0[i], mid)
     c1 = soa.gather(tables.spec_c1[i], mid)
     us, vs, uo, vo = tables.spec_uv[i]
-    lu = jnp.mod(uv_u * soa.take(us, mid) + soa.take(uo, mid), 1.0)
-    lv = jnp.mod(uv_v * soa.take(vs, mid) + soa.take(vo, mid), 1.0)
+    usg, vsg = soa.take(us, mid), soa.take(vs, mid)
+    lu = jnp.mod(uv_u * usg + soa.take(uo, mid), 1.0)
+    lv = jnp.mod(uv_v * vsg + soa.take(vo, mid), 1.0)
     cx = 2 * jnp.mod((lu * 2).astype(INT), 2) - 1
     cy = 2 * jnp.mod((lv * 2).astype(INT), 2) - 1
     checker = soa.where(cx * cy == 1, c0, c1)
@@ -127,15 +128,18 @@ def _eval_spec_slot(tables: MaterialTablesSoA, slot, mid, uv_u, uv_v,
     # Image branch compiled in only when some material uses it
     # (img_used comes from the static SceneStatic.spec_image_slots).
     if img_used:
-        img = tsoa.bilinear_level0(
-            tables.pool3, soa.take(tables.spec_img[i], mid), lu, lv
-        )
+        iid = soa.take(tables.spec_img[i], mid)
+        if fp is None:
+            img = tsoa.bilinear_level0(tables.pool3, iid, lu, lv)
+        else:
+            level = tsoa.footprint_level(tables.pool3, iid, usg, vsg, fp)
+            img = tsoa.trilinear(tables.pool3, iid, lu, lv, level)
         out = soa.where(kind == tex.TEX_IMAGE, img, out)
     return out
 
 
 def _eval_float_slot(tables: MaterialTablesSoA, i, mid, uv_u, uv_v,
-                     slot_mode: int):
+                     slot_mode: int, fp=None):
     """slot_mode: static OR of 1 (any checker) | 2 (any image); texture
     branches compile in only when a material in the scene uses them."""
     from gdpt_tpu.ops import textures_soa as tsoa
@@ -145,8 +149,9 @@ def _eval_float_slot(tables: MaterialTablesSoA, i, mid, uv_u, uv_v,
         return c0
     kind = soa.take(tables.float_kind[i], mid)
     us, vs, uo, vo = tables.float_uv[i]
-    lu = jnp.mod(uv_u * soa.take(us, mid) + soa.take(uo, mid), 1.0)
-    lv = jnp.mod(uv_v * soa.take(vs, mid) + soa.take(vo, mid), 1.0)
+    usg, vsg = soa.take(us, mid), soa.take(vs, mid)
+    lu = jnp.mod(uv_u * usg + soa.take(uo, mid), 1.0)
+    lv = jnp.mod(uv_v * vsg + soa.take(vo, mid), 1.0)
     out = c0
     if slot_mode & 1:
         c1 = soa.take(tables.float_c1[i], mid)
@@ -155,15 +160,19 @@ def _eval_float_slot(tables: MaterialTablesSoA, i, mid, uv_u, uv_v,
         checker = jnp.where(cx * cy == 1, c0, c1)
         out = jnp.where(kind == tex.TEX_CHECKER, checker, out)
     if slot_mode & 2:
-        img = tsoa.bilinear_level0_f(
-            tables.pool1, soa.take(tables.float_img[i], mid), lu, lv)
+        iid = soa.take(tables.float_img[i], mid)
+        if fp is None:
+            img = tsoa.bilinear_level0_f(tables.pool1, iid, lu, lv)
+        else:
+            level = tsoa.footprint_level(tables.pool1, iid, usg, vsg, fp)
+            img = tsoa.trilinear_f(tables.pool1, iid, lu, lv, level)
         out = jnp.where(kind == tex.TEX_IMAGE, img, out)
     return out
 
 
 def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
                       uv_u, uv_v, spec_image_slots=(False, False, False),
-                      float_tex_slots=None) -> MatParamsSoA:
+                      float_tex_slots=None, fp=None) -> MatParamsSoA:
     from gdpt_tpu.ops.materials import _SLOT_USERS
 
     mid = jnp.maximum(material_id, 0)
@@ -176,7 +185,7 @@ def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
         if used & _SLOT_USERS[slot]:
             return _eval_spec_slot(
                 tables, slot, mid, uv_u, uv_v,
-                spec_image_slots[_SPEC_SLOTS.index(slot)],
+                spec_image_slots[_SPEC_SLOTS.index(slot)], fp=fp,
             )
         return zero3
 
@@ -184,7 +193,7 @@ def gather_params_soa(tables: MaterialTablesSoA, used_kinds, material_id,
         if used & _SLOT_USERS[slot]:
             i = _FLOAT_SLOTS.index(slot)
             mode = float_tex_slots[i] if float_tex_slots else 0
-            return _eval_float_slot(tables, i, mid, uv_u, uv_v, mode)
+            return _eval_float_slot(tables, i, mid, uv_u, uv_v, mode, fp=fp)
         return zero
 
     return MatParamsSoA(

@@ -1,9 +1,10 @@
 """Batched (SoA) texture and environment-map lookups.
 
 Image textures read the flat mip pool (scene/textures.py) through (N,)
-gathers on component arrays. The SoA integrator carries no ray
-differentials, so image lookups sample the finest mip level (bilinear);
-the per-ray path keeps full trilinear mip filtering.
+gathers on component arrays, either at level 0 (bilinear) or — when the
+caller supplies a per-lane footprint/spread — through the same
+fractional-level trilinear mip filtering as the per-ray path
+(reference: src/mipmap.h:76-88, src/texture.h:129-139).
 
 Environment-map importance sampling uses the same 2D CDF tables as the
 per-ray path (core/distributions.py, mirroring reference:
@@ -51,6 +52,74 @@ def pool1_soa(pool) -> Pool1SoA:
         jnp.asarray(pool.data[:, 0]),
         pool.level_offset, pool.level_w, pool.level_h, pool.n_levels,
     )
+
+
+def _level_view(pool, img_id, lvl):
+    """(w, h, offset) of mip level lvl for each lane's image. The level
+    tables are (n_images, max_levels); a flat take handles the per-lane
+    dynamic level index."""
+    L = pool.level_w.shape[1]
+    flat = img_id * L + lvl
+    w = soa.take(pool.level_w.ravel(), flat)
+    h = soa.take(pool.level_h.ravel(), flat)
+    off = soa.take(pool.level_offset.ravel(), flat)
+    return w, h, off
+
+
+def _tap(gather, data, w, h, off, u, v):
+    """One bilinear tap (pixel-center convention, wrap addressing;
+    reference: src/mipmap.h:50-72) through `gather` on `data`."""
+    x = u * w.astype(REAL) - 0.5
+    y = v * h.astype(REAL) - 0.5
+    x0 = jnp.floor(x).astype(INT)
+    y0 = jnp.floor(y).astype(INT)
+    fx = x - x0.astype(REAL)
+    fy = y - y0.astype(REAL)
+    x0m = jnp.mod(x0, w)
+    y0m = jnp.mod(y0, h)
+    x1m = jnp.mod(x0 + 1, w)
+    y1m = jnp.mod(y0 + 1, h)
+    p00 = gather(data, off + y0m * w + x0m)
+    p01 = gather(data, off + y1m * w + x0m)
+    p10 = gather(data, off + y0m * w + x1m)
+    p11 = gather(data, off + y1m * w + x1m)
+    return (p00 * ((1 - fx) * (1 - fy)) + p10 * (fx * (1 - fy))
+            + p01 * ((1 - fx) * fy) + p11 * (fx * fy))
+
+
+def _trilinear(pool, gather, img_id, u, v, level):
+    """Fractional-level mip lookup: two bilinear taps lerped
+    (reference: src/mipmap.h:76-88, src/texture.h:132-139)."""
+    max_level = soa.take(pool.n_levels, img_id) - 1
+    l0 = jnp.clip(jnp.floor(level).astype(INT), 0, max_level)
+    l1 = jnp.clip(l0 + 1, 0, max_level)
+    frac = jnp.clip(level - l0.astype(REAL), 0.0, 1.0)
+    frac = jnp.where(level <= 0, 0.0, frac)
+    w0, h0, o0 = _level_view(pool, img_id, l0)
+    w1, h1, o1 = _level_view(pool, img_id, l1)
+    a = _tap(gather, pool.data, w0, h0, o0, u, v)
+    b = _tap(gather, pool.data, w1, h1, o1, u, v)
+    return a * (1.0 - frac) + b * frac
+
+
+def trilinear(pool: Pool3SoA, img_id, u, v, level) -> V3:
+    """Per-lane trilinear mip lookup, 3-channel pools."""
+    return _trilinear(pool, soa.gather, img_id, u, v, level)
+
+
+def trilinear_f(pool: Pool1SoA, img_id, u, v, level):
+    """Per-lane trilinear mip lookup, 1-channel (float slot) pools."""
+    return _trilinear(pool, soa.take, img_id, u, v, level)
+
+
+def footprint_level(pool, img_id, uscale, vscale, fp):
+    """log2 mip level from a uv-space screen footprint, matching the
+    per-ray eval_texture (scene/textures.py; reference:
+    src/texture.h:129-139)."""
+    w0 = soa.take(pool.level_w[:, 0], img_id).astype(REAL)
+    h0 = soa.take(pool.level_h[:, 0], img_id).astype(REAL)
+    scaled = jnp.maximum(w0, h0) * jnp.maximum(uscale, vscale) * fp
+    return jnp.log2(jnp.maximum(scaled, 1e-8))
 
 
 def bilinear_level0_f(pool: Pool1SoA, img_id, u, v):
@@ -163,14 +232,29 @@ def envmap_uv_from_dir(env: EnvmapSoA, wdir: V3):
     return u, v, sin_e
 
 
-def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3) -> V3:
-    """Radiance arriving along dir_to_env (level-0 bilinear for image
-    envmaps; the per-ray oracle adds footprint-based mip filtering)."""
+def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3,
+                        spread=None) -> V3:
+    """Radiance arriving along dir_to_env. With a per-lane ray spread,
+    image envmaps get the same du/dw footprint propagation + trilinear
+    mip filtering as the per-ray path (reference:
+    src/lights/envmap.inl:44-73); without one, level-0 bilinear."""
     u, v, _ = envmap_uv_from_dir(env, dir_to_env)
     if env.tex_kind == 1:  # TEX_IMAGE (static branch)
         n = u.shape[0]
         img_id = jnp.full(n, env.img_id, INT)
-        val = bilinear_level0(pool, img_id, u, v)
+        if spread is None:
+            val = bilinear_level0(pool, img_id, u, v)
+        else:
+            local = _xform_vec(env.to_local, dir_to_env)
+            denom = jnp.maximum(local.x ** 2 + local.z ** 2, 1e-20)
+            dudwx = -local.z / denom
+            dudwz = local.x / denom
+            dvdwy = -1.0 / jnp.maximum(
+                jnp.sqrt(jnp.maximum(1.0 - local.y ** 2, 0.0)), 1e-10)
+            fp = jnp.minimum(jnp.sqrt(dudwx ** 2 + dudwz ** 2),
+                             jnp.abs(dvdwy)) * spread
+            level = footprint_level(pool, img_id, 1.0, 1.0, fp)
+            val = trilinear(pool, img_id, u, v, level)
     else:
         ones = jnp.ones_like(u)
         val = V3(ones * env.const_value.x, ones * env.const_value.y,

@@ -293,27 +293,18 @@ def test_soa_envmap_sampler_matches_per_ray():
 
 
 def test_soa_image_envmap_matches_aos():
-    """Full SoA render with an image envmap vs the per-ray oracle with
-    footprint filtering disabled (the SoA path has no ray differentials,
-    so it reads the envmap at level 0 everywhere; the per-ray path blurs
-    BSDF-escape lookups through the mip pyramid, which is inconsistent
-    with the sharp pdf table and not comparable)."""
-    import jax.numpy as jnp2
-    from gdpt_tpu.ops import lights as L
-
+    """Full SoA render with an image envmap vs the per-ray oracle. Both
+    paths now propagate ray-differential spreads into the same du/dw
+    footprint + trilinear mip filtering, so the renders are compared
+    as-is (the round-2 version had to disable the per-ray filtering)."""
     env = np.zeros((32, 64, 3), np.float32)
     env[:] = 0.05
     env[2:4, :] = 5.0
     sc = _img_env_scene(env, spp=128, max_depth=3)
     assert sc.static.envmap_is_image
     assert path_soa.supports_soa(sc)
-    orig = L.envmap_emission
-    L.envmap_emission = lambda scene, d, spread: orig(scene, d, jnp2.asarray(0.0))
-    try:
-        a = path_soa.render_soa(sc, seed=3)
-        b = R.render_samples(sc, path_aos.trace_path, spp=128, seed=4)
-    finally:
-        L.envmap_emission = orig
+    a = path_soa.render_soa(sc, seed=3)
+    b = R.render_samples(sc, path_aos.trace_path, spp=128, seed=4)
     assert np.isfinite(a).all()
     assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
 

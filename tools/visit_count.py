@@ -26,8 +26,13 @@ from gdpt_tpu.scene import parser
 from gdpt_tpu.accel import packet_trace as pt
 
 
-def walk_packet(tab_i, n_super_guess, org, d, tnear, tfar, ordered=False):
-    """One packet (P*128 rays) through the table; returns visit counts."""
+def walk_packet(tab_i, n_super_guess, org, d, tnear, tfar, ordered=False,
+                axis_order=False):
+    """One packet (P*128 rays) through the table; returns visit counts.
+
+    ordered=True is the idealized nearest-first bound; axis_order=True
+    replicates the kernel's actual policy (children stored ascending by
+    centroid along tab[row,121]; push direction from lane 0's sign)."""
     P128 = org.shape[0]
     inv = 1.0 / np.where(d == 0, 1e-20, d)
     best = tfar.copy()
@@ -47,7 +52,10 @@ def walk_packet(tab_i, n_super_guess, org, d, tnear, tfar, ordered=False):
             row = tabf[node]
             rowi = tab_i[node]
             valid = rowi[120]
-            for k in range(16):
+            ks = range(16)
+            if axis_order and d[0, rowi[121]] > 0:
+                ks = range(15, -1, -1)
+            for k in ks:
                 if not (valid >> k) & 1:
                     continue
                 b = k * 6
@@ -135,24 +143,30 @@ def main():
 
     P128 = pt.PACKET_ROWS * 128
     tots = np.zeros(2)
+    tots_a = np.zeros(2)
     tots_o = np.zeros(2)
     sel = np.linspace(0, n // P128 - 1, n_packets).astype(int)
     for pi in sel:
         sl = slice(pi * P128, (pi + 1) * P128)
-        vs, vl, _ = walk_packet(tab_i, 0, o[sl], dd[sl],
-                                np.zeros(P128, np.float32),
-                                np.full(P128, 3e38, np.float32))
-        vso, vlo, _ = walk_packet(tab_i, 0, o[sl], dd[sl],
-                                  np.zeros(P128, np.float32),
-                                  np.full(P128, 3e38, np.float32),
+        zeros = np.zeros(P128, np.float32)
+        fars = np.full(P128, 3e38, np.float32)
+        vs, vl, p0 = walk_packet(tab_i, 0, o[sl], dd[sl], zeros, fars)
+        vsa, vla, pa = walk_packet(tab_i, 0, o[sl], dd[sl], zeros, fars,
+                                   axis_order=True)
+        vso, vlo, _ = walk_packet(tab_i, 0, o[sl], dd[sl], zeros, fars,
                                   ordered=True)
+        assert (p0 == pa).all(), "axis-order changed hits"
         tots += (vs, vl)
+        tots_a += (vsa, vla)
         tots_o += (vso, vlo)
-        print(f"packet {pi}: super {vs} leaf {vl}   ordered: {vso}/{vlo}")
+        print(f"packet {pi}: super {vs} leaf {vl}   axis: {vsa}/{vla}"
+              f"   ordered: {vso}/{vlo}")
     tots /= len(sel)
+    tots_a /= len(sel)
     tots_o /= len(sel)
     print(f"mean visits/packet: super {tots[0]:.0f} leaf {tots[1]:.0f} "
-          f"total {tots.sum():.0f}; ordered-bound {tots_o.sum():.0f}")
+          f"total {tots.sum():.0f}; axis-order {tots_a.sum():.0f}; "
+          f"ordered-bound {tots_o.sum():.0f}")
 
 
 if __name__ == "__main__":
