@@ -37,6 +37,7 @@ trap this avoids):
 """
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -69,6 +70,11 @@ class PacketTable(NamedTuple):
     # XLA gather of the hit primitive, which keeps the kernel's leaf
     # loop down to two VMEM read-modify-writes per visit.
     geo9: jnp.ndarray = None
+    # Two-phase entry frontier: ~GDPT_ENTRY_K disjoint subtrees covering
+    # the scene. entry_ref (K+1,) int32 packet-kernel refs (last = whole-
+    # table root, the correctness sentinel); entry_bbox (K+1, 6) f32.
+    entry_ref: jnp.ndarray = None
+    entry_bbox: jnp.ndarray = None
 
 
 def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
@@ -241,11 +247,36 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     stack_n = max(64, 16 * (max_depth + 1))
     root_lo = bmin[0] if n_nodes else np.zeros(3, np.float32)
     root_hi = bmax[0] if n_nodes else np.ones(3, np.float32)
+
+    # Entry frontier for two-phase traversal: greedily split the
+    # largest-population supernode root until ~K disjoint subtrees.
+    def ref_of(c):
+        return int(super_of[c]) if c in super_of else int(leaf_ref(fat_of[c]))
+
+    k_target = int(os.environ.get("GDPT_ENTRY_K", "64"))
+    frontier = [0]
+    while len(frontier) < k_target:
+        pick, pick_cnt = None, -1
+        for i, c in enumerate(frontier):
+            if c in super_of and cnt_sub[c] > pick_cnt:
+                pick, pick_cnt = i, cnt_sub[c]
+        if pick is None:
+            break
+        c = frontier.pop(pick)
+        ch = [x for x in kids_of[super_of[c]] if x is not None]
+        frontier[pick:pick] = ch
+    entry_ref = np.asarray([ref_of(c) for c in frontier] + [0], np.int32)
+    entry_bbox = np.concatenate(
+        [np.concatenate([bmin[frontier], bmax[frontier]], axis=1),
+         np.concatenate([root_lo, root_hi])[None, :]], axis=0)
+
     return PacketTable(
         jnp.asarray(ti),
         jnp.zeros(stack_n, jnp.int32),
         jnp.asarray(np.concatenate([root_lo, root_hi]).astype(np.float32)),
         jnp.asarray(geo9),
+        jnp.asarray(entry_ref),
+        jnp.asarray(entry_bbox.astype(np.float32)),
     )
 
 
@@ -259,7 +290,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
     read-modify-writes instead of seven. Two stack visits run per while
     iteration to halve the loop's fixed cost (cond eval, carry)."""
 
-    def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf,
+    def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf, rref,
                t_o, prim_o, wscr, stk, spr):
         import jax.experimental.pallas as pl
 
@@ -270,7 +301,10 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
         if any_hit:
             # Dead padding lanes (tf < tn) must not keep packets alive.
             prim_o[...] = jnp.where(tn[...] > tf[...], 0, prim_o[...])
-        stk[0] = jnp.int32(0)
+        # Traversal root for this packet (two-phase entry traversal
+        # starts packets at a subtree entry; 0 = whole-table root).
+        # Every lane of the packet carries the same ref; [0,0] stands in.
+        stk[0] = rref[0, 0]
 
         def or_scalar(w):
             from jax.experimental.pallas import tpu as pltpu
@@ -455,8 +489,9 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
 @functools.partial(jax.jit, static_argnames=("n_tris", "any_hit",
                                              "interpret"))
 def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
-                   n_tris=None, any_hit=False, interpret=False):
-    """Inputs shaped (M, 128); M a multiple of PACKET_ROWS.
+                   rref=None, n_tris=None, any_hit=False, interpret=False):
+    """Inputs shaped (M, 128); M a multiple of PACKET_ROWS. rref: per-lane
+    traversal-root refs, uniform within each packet (None = table root).
     Returns (t, prim) only — see _make_kernel."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -471,10 +506,12 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
                  jax.ShapeDtypeStruct((M, 128), jnp.int32)]
+    if rref is None:
+        rref = jnp.zeros((M, 128), jnp.int32)
     f = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 9,
         out_specs=[ray_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
@@ -484,7 +521,7 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
         ],
         interpret=interpret,
     )
-    return f(tab.table, ox, oy, oz, dx, dy, dz, tn, tf)
+    return f(tab.table, ox, oy, oz, dx, dy, dz, tn, tf, rref)
 
 
 def _pack(v, M):
@@ -589,6 +626,159 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
         tab, org0, d0, t_out, prim_out, n_tris)
 
 
+def _entry_dispatch(tab: PacketTable, org: V3, d: V3, tnear, tfar,
+                    entry_id, mort, n_tris, any_hit, interpret):
+    """One grouped packet dispatch of the two-phase traversal.
+
+    entry_id (n,) int32 in [0, K1]: index into tab.entry_ref, or K1
+    (== entry count) meaning "no work this round". Rays are counting-
+    scattered into packet-aligned per-entry groups (morton-ordered
+    within a group) so every packet traverses exactly one subtree; pad
+    and no-work lanes are dead (tfar < tnear). Returns (t, prim) in the
+    input order, prim = -1 where no dispatch happened.
+    """
+    n = org.x.shape[0]
+    K1 = int(tab.entry_ref.shape[0])
+    G = K1 + 1                                # + trailing dead group
+    Q = PACKET_ROWS * 128
+    key = entry_id * jnp.int32(1 << 22) | (mort & jnp.int32((1 << 22) - 1))
+    order = jnp.argsort(key)
+    sorted_e = jnp.take(entry_id, order)
+    counts = jnp.zeros(G, INT).at[entry_id].add(1)
+    padded = -(-counts // Q) * Q
+    pstart = jnp.concatenate([jnp.zeros(1, INT), jnp.cumsum(padded)])
+    gstart = jnp.concatenate([jnp.zeros(1, INT), jnp.cumsum(counts)])
+    pos = (jnp.take(pstart[:G], sorted_e)
+           + (jnp.arange(n, dtype=INT) - jnp.take(gstart[:G], sorted_e)))
+    m_lanes = (-(-n // Q)) * Q + G * Q        # static worst-case padding
+    m_rows = m_lanes // 128
+
+    live = entry_id < K1
+
+    def scat(v, fill):
+        out = jnp.full(m_lanes, fill, v.dtype)
+        return out.at[pos].set(jnp.take(v, order)).reshape(m_rows, 128)
+
+    ox, oy, oz = scat(org.x, 0.0), scat(org.y, 0.0), scat(org.z, 0.0)
+    dx, dy, dz = scat(d.x, 1.0), scat(d.y, 0.0), scat(d.z, 0.0)
+    tn2 = scat(tnear, 0.0)
+    tf2 = scat(jnp.where(live, tfar, -1.0), -1.0)
+    # Per-lane subtree ref: the padded group layout makes this uniform
+    # within each packet (group starts are packet-aligned).
+    lane_entry = (jnp.searchsorted(pstart, jnp.arange(m_lanes, dtype=INT),
+                                   side="right") - 1)
+    rref = jnp.take(tab.entry_ref, jnp.clip(lane_entry, 0, K1 - 1),
+                    mode="clip").reshape(m_rows, 128)
+    t2, p2 = _trace_packets(tab, ox, oy, oz, dx, dy, dz, tn2, tf2, rref,
+                            n_tris=n_tris, any_hit=any_hit,
+                            interpret=interpret)
+    t_flat, p_flat = t2.reshape(-1), p2.reshape(-1)
+    t_out = jnp.zeros(n, REAL).at[order].set(jnp.take(t_flat, pos))
+    p_out = jnp.zeros(n, INT).at[order].set(jnp.take(p_flat, pos))
+    return t_out, jnp.where(live, p_out, -1)
+
+
+def trace_two_phase(tab: PacketTable, org: V3, d: V3, tnear, tfar,
+                    n_tris=None, any_hit=False, interpret=None,
+                    entry_iters=3):
+    """Two-phase entry-point traversal: flat-ray entry, same contract as
+    trace_packet_soa.
+
+    Incoherent packets through the whole tree visit ~13x more nodes
+    than any single ray needs (the packet's visit union). Phase 1 slab-
+    tests every ray against the ~K entry-subtree boxes densely in XLA
+    (no gathers) and ranks the hits near-to-far. Phase 2 runs
+    entry_iters grouped dispatches — every packet walks ONE subtree,
+    near entries first, tfar tightened to the running best — so the
+    union waste is confined to a ~(rows/K)-row subtree. A final root
+    dispatch with the tightened tfar covers rays that crossed more than
+    entry_iters entry boxes (correctness sentinel, rare).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = org.x.shape[0]
+    K1 = int(tab.entry_ref.shape[0])
+    K = K1 - 1                                # real entries (last = root)
+    tnear = jnp.broadcast_to(jnp.asarray(tnear, REAL), (n,))
+    tfar = jnp.broadcast_to(jnp.asarray(tfar, REAL), (n,))
+    fin = (jnp.isfinite(org.x) & jnp.isfinite(org.y) & jnp.isfinite(org.z)
+           & jnp.isfinite(d.x) & jnp.isfinite(d.y) & jnp.isfinite(d.z)
+           & jnp.isfinite(tnear))
+
+    def _fin(v, alt):
+        return jnp.where(jnp.isfinite(v), v, jnp.asarray(alt, v.dtype))
+
+    org = V3(_fin(org.x, 0.0), _fin(org.y, 0.0), _fin(org.z, 0.0))
+    d = V3(_fin(d.x, 1.0), _fin(d.y, 0.0), _fin(d.z, 0.0))
+    tnear = _fin(tnear, 0.0)
+    tfar = jnp.where(fin, jnp.clip(_fin(tfar, 3e37), -1.0, 3e37), -1.0)
+    alive = tfar >= tnear
+    org0, d0 = org, d
+
+    # ---- phase 1: dense (n, K) entry culling ----
+    eb = tab.entry_bbox
+    inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
+             1.0 / jnp.where(d.y == 0, 1e-20, d.y),
+             1.0 / jnp.where(d.z == 0, 1e-20, d.z))
+
+    def slab(lo_c, hi_c, o_c, i_c):
+        a = (lo_c[None, :] - o_c[:, None]) * i_c[:, None]
+        b = (hi_c[None, :] - o_c[:, None]) * i_c[:, None]
+        return jnp.minimum(a, b), jnp.maximum(a, b)
+
+    ax, bx = slab(eb[:K, 0], eb[:K, 3], org.x, inv.x)
+    ay, by = slab(eb[:K, 1], eb[:K, 4], org.y, inv.y)
+    az, bz = slab(eb[:K, 2], eb[:K, 5], org.z, inv.z)
+    t_in = jnp.maximum(jnp.maximum(ax, ay),
+                       jnp.maximum(az, tnear[:, None]))
+    t_out = jnp.minimum(jnp.minimum(bx, by),
+                        jnp.minimum(bz, tfar[:, None]))
+    hitk = t_in <= t_out
+    BIGF = jnp.float32(3e38)
+    keyk = jnp.where(hitk, t_in, BIGF)
+    tk = min(entry_iters, K)
+    neg, idx = jax.lax.top_k(-keyk, tk)
+    tins = -neg                                # (n, tk) nearest-first
+    overflow = jnp.sum(hitk, axis=1) > tk
+    mort = _morton_keys(tab, org, d)
+
+    DEAD = jnp.int32(K1)
+    best_t = tfar
+    best_p = jnp.full(n, -1, INT)
+    done = ~alive
+    for e in range(tk):
+        ok = (~done) & (tins[:, e] < best_t) & (tins[:, e] < BIGF)
+        eid = jnp.where(ok, idx[:, e].astype(INT), DEAD)
+        t_e, p_e = _entry_dispatch(tab, org, d, tnear, best_t, eid, mort,
+                                   n_tris, any_hit, interpret)
+        imp = (p_e >= 0) & ok
+        if not any_hit:
+            imp = imp & (t_e < best_t)
+            best_t = jnp.where(imp, t_e, best_t)
+        best_p = jnp.where(imp, p_e, best_p)
+        if any_hit:
+            done = done | imp
+
+    # ---- cleanup: rays that crossed > tk entries walk the full tree
+    # with the tightened tfar ----
+    pend = (~done) & overflow
+    eid = jnp.where(pend, jnp.int32(K), DEAD)
+    t_e, p_e = _entry_dispatch(tab, org, d, tnear, best_t, eid, mort,
+                               n_tris, any_hit, interpret)
+    imp = (p_e >= 0) & pend
+    if not any_hit:
+        imp = imp & (t_e < best_t)
+        best_t = jnp.where(imp, t_e, best_t)
+    best_p = jnp.where(imp, p_e, best_p)
+
+    prim_out = jnp.where(alive, best_p, -1)
+    if any_hit:
+        zero = jnp.zeros(n, REAL)
+        return best_t, prim_out, zero, zero, V3(zero, zero, 1.0 + zero)
+    return (best_t, prim_out) + _hit_attribs(
+        tab, org0, d0, best_t, prim_out, n_tris)
+
+
 def _hit_attribs(tab: PacketTable, org: V3, d: V3, t, prim, n_tris):
     """Recompute (u, v, unnormalized geometric normal) for the winning
     primitive with one XLA gather of its geometry row. Cheaper than
@@ -622,14 +812,33 @@ def _hit_attribs(tab: PacketTable, org: V3, d: V3, t, prim, n_tris):
     return u, v, gn
 
 
+def _two_phase_on(n):
+    """Two-phase entry traversal default: on for big batches (its sort/
+    scatter overhead needs lanes to amortize), overridable by env."""
+    flag = os.environ.get("GDPT_TWO_PHASE", "auto")
+    if flag == "0":
+        return False
+    if flag == "1":
+        return True
+    return n >= 4 * PACKET_ROWS * 128
+
+
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
                      n_tris=None, interpret=None):
+    if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
+        return trace_two_phase(tab, org, d, tnear, tfar, n_tris=n_tris,
+                               any_hit=False, interpret=interpret)
     return trace_packet_soa(tab, org, d, tnear, tfar, n_tris=n_tris,
                             any_hit=False, interpret=interpret)
 
 
 def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
                     n_tris=None, interpret=None):
+    if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
+        t, prim, _, _, _ = trace_two_phase(
+            tab, org, d, tnear, tfar, n_tris=n_tris, any_hit=True,
+            interpret=interpret)
+        return prim >= 0
     t, prim, _, _, _ = trace_packet_soa(
         tab, org, d, tnear, tfar, n_tris=n_tris, any_hit=True,
         interpret=interpret)

@@ -108,3 +108,41 @@ def test_packet_scrubs_nonfinite_lanes():
         tab, _v3(orgb), _v3(db), 1e-4, 1e9, interpret=True))
     assert (occ[~poison] == (bp[~poison] >= 0)).all()
     assert not occ[poison].any()
+
+
+def test_two_phase_matches_brute_force():
+    """Entry-point (two-phase) traversal vs brute force, closest + any."""
+    v0, v1, v2 = _soup(1500, seed=11)
+    tab, e1, e2 = _table(v0, v1, v2)
+    assert tab.entry_ref is not None and tab.entry_ref.shape[0] > 2
+    org, d = _rays(1024, seed=12)
+    t, prim, u, v, gn = pt.trace_two_phase(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    bt, bp = _brute(v0, e1, e2, org, d)
+    prim = np.asarray(prim)
+    assert (prim == bp).mean() == 1.0
+    good = bp >= 0
+    np.testing.assert_allclose(np.asarray(t)[good], bt[good],
+                               rtol=1e-3, atol=1e-4)
+    t2, p2, _, _, _ = pt.trace_two_phase(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, any_hit=True, interpret=True)
+    assert ((np.asarray(p2) >= 0) == (bp >= 0)).all()
+
+
+def test_two_phase_nonfinite_and_dead_lanes():
+    v0, v1, v2 = _soup(400, seed=13)
+    tab, e1, e2 = _table(v0, v1, v2)
+    org, d = _rays(640, seed=14)
+    orgb = org.copy()
+    bad = np.arange(640) % 4 == 0
+    orgb[bad] = np.inf
+    tfar = np.full(640, 1e9, np.float32)
+    dead = np.arange(640) % 7 == 0
+    tfar[dead] = -1.0
+    t, prim, _, _, _ = pt.trace_two_phase(
+        tab, _v3(orgb), _v3(d), 1e-4, jnp.asarray(tfar), interpret=True)
+    prim = np.asarray(prim)
+    out = bad | dead
+    assert (prim[out] == -1).all()
+    bt, bp = _brute(v0, e1, e2, org, d)
+    assert (prim[~out] == bp[~out]).all()
