@@ -451,18 +451,29 @@ def _gdpt_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
 
 def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
                         return_stats=False, start_sample=0, init_acc=None,
-                        on_chunk=None):
+                        on_chunk=None, mesh=None):
     """SoA GDPT driver: accumulate primal + 4 gradient buffers, then
-    screened-Poisson reconstruct (reference: src/render.cpp:257-370)."""
+    screened-Poisson reconstruct (reference: src/render.cpp:257-370).
+    mesh: optional jax.sharding.Mesh with a 'rays' axis — the same
+    banded/batched loop runs with rays sharded and the scene replicated."""
     static = scene.static
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
     n = w * h
     sc = ps.scene_soa_from_aos(scene)
+    camera = scene.device.camera
     ys, xs = np.mgrid[0:h, 0:w]
     xs_d = jnp.asarray(xs.ravel(), REAL)
     ys_d = jnp.asarray(ys.ravel(), REAL)
     ray_idx = jnp.arange(n, dtype=jnp.uint32)
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+
+        shard = NamedSharding(mesh, SP("rays"))
+        repl = NamedSharding(mesh, SP())
+        sc = jax.device_put(sc, repl)
+        camera = jax.device_put(camera, repl)
 
     # ~5x the rays of a plain path sample per GDPT sample; BVH scenes are
     # latency-bound, keep each dispatch to one sample (device watchdog).
@@ -482,12 +493,19 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
         bands = [(lo, min(n, lo + band)) for lo in range(0, n, band)]
 
     def band_args(lo, hi):
-        if hi - lo == len(xs_d):
-            return xs_d, ys_d, ray_idx
-        pad = (bands[0][1] - bands[0][0]) - (hi - lo)
-        sl = slice(lo, hi)
-        return (jnp.pad(xs_d[sl], (0, pad)), jnp.pad(ys_d[sl], (0, pad)),
-                jnp.pad(ray_idx[sl], (0, pad)))
+        band_n = bands[0][1] - bands[0][0]
+        lane_pad = 0 if shard is None else \
+            (-band_n) % (mesh.devices.size * 128)
+        if hi - lo == len(xs_d) and not lane_pad:
+            out = xs_d, ys_d, ray_idx
+        else:
+            pad = band_n - (hi - lo) + lane_pad
+            sl = slice(lo, hi)
+            out = (jnp.pad(xs_d[sl], (0, pad)), jnp.pad(ys_d[sl], (0, pad)),
+                   jnp.pad(ray_idx[sl], (0, pad)))
+        if shard is not None:
+            out = tuple(jax.device_put(a, shard) for a in out)
+        return out
 
     acc = (np.zeros((6, 3, n), np.float64) if init_acc is None
            else np.asarray(init_acc, np.float64).copy())
@@ -498,7 +516,7 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
         for lo, hi in bands:
             bx, by, bidx = band_args(lo, hi)
             out, nrays = _gdpt_pass(
-                static, scene.device.camera, sc, bx, by, bidx,
+                static, camera, sc, bx, by, bidx,
                 jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32),
                 k,
             )

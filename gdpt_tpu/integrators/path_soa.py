@@ -1057,12 +1057,15 @@ def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
 
 
 def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
-               start_sample=0, init_acc=None, on_chunk=None):
+               start_sample=0, init_acc=None, on_chunk=None, mesh=None):
     """SoA render driver for the path integrator.
 
     start_sample/init_acc resume an interrupted accumulation (init_acc is
     the raw (3, n) float64 sample-sum array); on_chunk(acc, done) fires
-    after every device pass for checkpointing.
+    after every device pass for checkpointing. mesh: optional
+    jax.sharding.Mesh with a 'rays' axis — the SAME banded loop runs
+    with rays sharded and the scene replicated (reference analog: one
+    tile scheduler for every integrator, src/render.cpp:82-90).
     """
     static = scene.static
     w, h = static.width, static.height
@@ -1070,7 +1073,7 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     n = w * h
     import os as _os
 
-    if (not static.use_brute_force and on_chunk is None
+    if (mesh is None and not static.use_brute_force and on_chunk is None
             and init_acc is None and not start_sample
             and _os.environ.get("GDPT_WAVEFRONT", "1") != "0"):
         # BVH scenes: the wavefront pool keeps every dispatch at ~full
@@ -1081,10 +1084,26 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
         return render_soa_wavefront(scene, spp, seed=seed,
                                     return_stats=return_stats)
     sc = scene_soa_from_aos(scene)
+    camera = scene.device.camera
     ys, xs = np.mgrid[0:h, 0:w]
-    xs_d = jnp.asarray(xs.ravel(), REAL)
-    ys_d = jnp.asarray(ys.ravel(), REAL)
-    ray_idx = jnp.arange(n, dtype=jnp.uint32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+
+        pad = (-n) % (mesh.devices.size * 128)
+        shard = NamedSharding(mesh, SP("rays"))
+        repl = NamedSharding(mesh, SP())
+        xs_d = jax.device_put(jnp.asarray(np.concatenate(
+            [xs.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
+        ys_d = jax.device_put(jnp.asarray(np.concatenate(
+            [ys.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
+        ray_idx = jax.device_put(jnp.asarray(np.concatenate(
+            [np.arange(n), np.zeros(pad)]).astype(np.uint32)), shard)
+        sc = jax.device_put(sc, repl)
+        camera = jax.device_put(camera, repl)
+    else:
+        xs_d = jnp.asarray(xs.ravel(), REAL)
+        ys_d = jnp.asarray(ys.ravel(), REAL)
+        ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
     # Amortize per-pass dispatch/transfer with big sample batches, but
     # bound per-dispatch work: the device runtime kills executions that
@@ -1108,12 +1127,12 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _soa_pass(
-            static, scene.device.camera, sc, xs_d, ys_d, ray_idx,
+            static, camera, sc, xs_d, ys_d, ray_idx,
             jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
         )
-        acc[0] += np.asarray(out.x, np.float64)
-        acc[1] += np.asarray(out.y, np.float64)
-        acc[2] += np.asarray(out.z, np.float64)
+        acc[0] += np.asarray(out.x, np.float64)[:n]
+        acc[1] += np.asarray(out.y, np.float64)[:n]
+        acc[2] += np.asarray(out.z, np.float64)[:n]
         total_rays += float(nrays)
         done += k
         if on_chunk is not None:

@@ -547,17 +547,37 @@ def _vol_pass(static, camera, sc, media, xs, ys, ray_idx, seed, sample0,
 
 
 def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
-                       start_sample=0, init_acc=None, on_chunk=None):
+                       start_sample=0, init_acc=None, on_chunk=None,
+                       mesh=None):
+    """mesh: optional jax.sharding.Mesh with a 'rays' axis — the same
+    batched loop runs with rays sharded and the scene replicated."""
     static = scene.static
     w, h = static.width, static.height
     spp = spp if spp is not None else static.options.samples_per_pixel
     n = w * h
     sc = ps.scene_soa_from_aos(scene)
     media = meds.media_soa(scene.device.media)
+    camera = scene.device.camera
     ys, xs = np.mgrid[0:h, 0:w]
-    xs_d = jnp.asarray(xs.ravel(), REAL)
-    ys_d = jnp.asarray(ys.ravel(), REAL)
-    ray_idx = jnp.arange(n, dtype=jnp.uint32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as SP
+
+        pad = (-n) % (mesh.devices.size * 128)
+        shard = NamedSharding(mesh, SP("rays"))
+        repl = NamedSharding(mesh, SP())
+        xs_d = jax.device_put(jnp.asarray(np.concatenate(
+            [xs.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
+        ys_d = jax.device_put(jnp.asarray(np.concatenate(
+            [ys.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
+        ray_idx = jax.device_put(jnp.asarray(np.concatenate(
+            [np.arange(n), np.zeros(pad)]).astype(np.uint32)), shard)
+        sc = jax.device_put(sc, repl)
+        media = jax.device_put(media, repl)
+        camera = jax.device_put(camera, repl)
+    else:
+        xs_d = jnp.asarray(xs.ravel(), REAL)
+        ys_d = jnp.asarray(ys.ravel(), REAL)
+        ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
     if static.use_brute_force:
         batch = max(1, (1 << 24) // n)
@@ -570,12 +590,12 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _vol_pass(
-            static, scene.device.camera, sc, media, xs_d, ys_d, ray_idx,
+            static, camera, sc, media, xs_d, ys_d, ray_idx,
             jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
         )
-        acc[0] += np.asarray(out.x, np.float64)
-        acc[1] += np.asarray(out.y, np.float64)
-        acc[2] += np.asarray(out.z, np.float64)
+        acc[0] += np.asarray(out.x, np.float64)[:n]
+        acc[1] += np.asarray(out.y, np.float64)[:n]
+        acc[2] += np.asarray(out.z, np.float64)[:n]
         total_rays += float(nrays)
         done += k
         if on_chunk is not None:

@@ -80,116 +80,36 @@ def render_samples_sharded(scene, trace_fn, mesh: Mesh, spp=None, seed=0,
     return np.where(np.isfinite(img), img, 0.0).astype(np.float32)
 
 
-def render_soa_sharded(scene, mesh: Mesh, spp=None, seed=0):
+def render_soa_sharded(scene, mesh: Mesh, spp=None, seed=0, **kw):
     """Distributed SoA fast-path render: every (N,) ray component array is
     sharded over the 'rays' axis; the SoA scene tables are replicated.
-    Same transport as path_soa.render_soa."""
+
+    Thin front for path_soa.render_soa(mesh=...) — the SAME banded/
+    batched/checkpointable production loop serves single-chip and
+    multi-chip runs (reference analog: one tile scheduler for every
+    integrator, src/render.cpp:82-90)."""
     from gdpt_tpu.integrators import path_soa
 
-    static = scene.static
-    w, h = static.width, static.height
-    spp = spp if spp is not None else static.options.samples_per_pixel
-    n_dev = mesh.devices.size
-    n_pix = w * h
-    pad = (-n_pix) % (n_dev * 128)
-    ys, xs = np.mgrid[0:h, 0:w]
-    xs = np.concatenate([xs.ravel(), np.zeros(pad)]).astype(np.float32)
-    ys = np.concatenate([ys.ravel(), np.zeros(pad)]).astype(np.float32)
-    ray_idx = np.concatenate(
-        [np.arange(n_pix), np.zeros(pad)]
-    ).astype(np.uint32)
-
-    ray_sharding = NamedSharding(mesh, P("rays"))
-    repl = NamedSharding(mesh, P())
-    sc = jax.device_put(path_soa.scene_soa_from_aos(scene), repl)
-    camera = jax.device_put(scene.device.camera, repl)
-    xs_d = jax.device_put(jnp.asarray(xs), ray_sharding)
-    ys_d = jax.device_put(jnp.asarray(ys), ray_sharding)
-    idx_d = jax.device_put(jnp.asarray(ray_idx), ray_sharding)
-
-    out, _ = path_soa._soa_pass(
-        static, camera, sc, xs_d, ys_d, idx_d,
-        jnp.asarray(seed, jnp.uint32), jnp.asarray(0, jnp.uint32), spp,
-    )
-    img = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
-    img = (img[:n_pix] / spp).reshape(h, w, 3).astype(np.float32)
-    return np.where(np.isfinite(img), img, 0.0)
+    return path_soa.render_soa(scene, spp=spp, seed=seed, mesh=mesh, **kw)
 
 
-def render_gradpath_soa_sharded(scene, mesh: Mesh, spp=None, seed=0):
+def render_gradpath_soa_sharded(scene, mesh: Mesh, spp=None, seed=0, **kw):
     """Distributed SoA gradient-domain render: rays sharded, scene
     replicated; the screened-Poisson solve runs on the gathered host
-    buffers (it is O(HW log HW), negligible next to tracing)."""
-    from gdpt_tpu.integrators import gdpt_soa, path_soa
-    from gdpt_tpu.ops import poisson
+    buffers (it is O(HW log HW), negligible next to tracing).
 
-    static = scene.static
-    w, h = static.width, static.height
-    spp = spp if spp is not None else static.options.samples_per_pixel
-    n_dev = mesh.devices.size
-    n_pix = w * h
-    pad = (-n_pix) % (n_dev * 128)
-    ys, xs = np.mgrid[0:h, 0:w]
-    xs = np.concatenate([xs.ravel(), np.zeros(pad)]).astype(np.float32)
-    ys = np.concatenate([ys.ravel(), np.zeros(pad)]).astype(np.float32)
-    ray_idx = np.concatenate([np.arange(n_pix), np.zeros(pad)]).astype(np.uint32)
+    Thin front for gdpt_soa.render_gradpath_soa(mesh=...) — multi-chip
+    runs take the same pixel-band dispatch loop as single-chip."""
+    from gdpt_tpu.integrators import gdpt_soa
 
-    ray_sharding = NamedSharding(mesh, P("rays"))
-    repl = NamedSharding(mesh, P())
-    sc = jax.device_put(path_soa.scene_soa_from_aos(scene), repl)
-    camera = jax.device_put(scene.device.camera, repl)
-    xs_d = jax.device_put(jnp.asarray(xs), ray_sharding)
-    ys_d = jax.device_put(jnp.asarray(ys), ray_sharding)
-    idx_d = jax.device_put(jnp.asarray(ray_idx), ray_sharding)
-
-    out, _ = gdpt_soa._gdpt_pass(
-        static, camera, sc, xs_d, ys_d, idx_d,
-        jnp.asarray(seed, jnp.uint32), jnp.asarray(0, jnp.uint32), spp,
-    )
-
-    def img(buf):
-        a = np.stack([np.asarray(buf.x), np.asarray(buf.y), np.asarray(buf.z)], -1)
-        return (a[:n_pix] / spp).reshape(h, w, 3).astype(np.float32)
-
-    primal, primal_bf, gxh, gxn, gyh, gyn = (img(b) for b in out)
-    gx, gy = poisson.assemble_gradients(
-        jnp.asarray(gxh), jnp.asarray(gxn), jnp.asarray(gyh), jnp.asarray(gyn)
-    )
-    recon = poisson.screened_poisson_solve(
-        jnp.asarray(primal), gx, gy, static.options.gdpt_alpha
-    )
-    return np.where(np.isfinite(recon), np.asarray(recon), 0.0).astype(np.float32)
+    return gdpt_soa.render_gradpath_soa(scene, spp=spp, seed=seed,
+                                        mesh=mesh, **kw)
 
 
-def render_volpath_soa_sharded(scene, mesh: Mesh, spp=None, seed=0):
-    """Distributed SoA volumetric render (final null-scattering rung)."""
-    from gdpt_tpu.integrators import path_soa, volpath_soa
-    from gdpt_tpu.ops import media_soa
+def render_volpath_soa_sharded(scene, mesh: Mesh, spp=None, seed=0, **kw):
+    """Distributed SoA volumetric render (final null-scattering rung),
+    via volpath_soa.render_volpath_soa(mesh=...) — one production loop."""
+    from gdpt_tpu.integrators import volpath_soa
 
-    static = scene.static
-    w, h = static.width, static.height
-    spp = spp if spp is not None else static.options.samples_per_pixel
-    n_dev = mesh.devices.size
-    n_pix = w * h
-    pad = (-n_pix) % (n_dev * 128)
-    ys, xs = np.mgrid[0:h, 0:w]
-    xs = np.concatenate([xs.ravel(), np.zeros(pad)]).astype(np.float32)
-    ys = np.concatenate([ys.ravel(), np.zeros(pad)]).astype(np.float32)
-    ray_idx = np.concatenate([np.arange(n_pix), np.zeros(pad)]).astype(np.uint32)
-
-    ray_sharding = NamedSharding(mesh, P("rays"))
-    repl = NamedSharding(mesh, P())
-    sc = jax.device_put(path_soa.scene_soa_from_aos(scene), repl)
-    media = jax.device_put(media_soa.media_soa(scene.device.media), repl)
-    camera = jax.device_put(scene.device.camera, repl)
-    xs_d = jax.device_put(jnp.asarray(xs), ray_sharding)
-    ys_d = jax.device_put(jnp.asarray(ys), ray_sharding)
-    idx_d = jax.device_put(jnp.asarray(ray_idx), ray_sharding)
-
-    out, _ = volpath_soa._vol_pass(
-        static, camera, sc, media, xs_d, ys_d, idx_d,
-        jnp.asarray(seed, jnp.uint32), jnp.asarray(0, jnp.uint32), spp,
-    )
-    img = np.stack([np.asarray(out.x), np.asarray(out.y), np.asarray(out.z)], -1)
-    img = (img[:n_pix] / spp).reshape(h, w, 3).astype(np.float32)
-    return np.where(np.isfinite(img), img, 0.0)
+    return volpath_soa.render_volpath_soa(scene, spp=spp, seed=seed,
+                                          mesh=mesh, **kw)

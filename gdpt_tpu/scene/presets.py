@@ -56,6 +56,7 @@ def cornell_box(
     max_depth=-1,
     with_blocks=True,
     options=None,
+    force_bvh=False,
 ):
     shapes = []
     # material ids: 0 white, 1 red, 2 green, 3 light-white
@@ -128,7 +129,8 @@ def cornell_box(
     opts = options or M.RenderOptions(
         integrator=integrator, samples_per_pixel=spp, max_depth=max_depth
     )
-    return build.build_scene(cam, materials, shapes, lights, options=opts)
+    return build.build_scene(cam, materials, shapes, lights, options=opts,
+                             force_bvh=force_bvh)
 
 
 def volpath_scene(version=1, width=48, height=48, spp=16, max_depth=-1,

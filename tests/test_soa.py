@@ -339,6 +339,35 @@ def test_sharded_gdpt_and_volpath_run():
     assert img.shape == (16, 16, 3) and np.isfinite(img).all()
 
 
+def test_sharded_bvh_scene_matches_single_device(monkeypatch):
+    """Sharded drivers run the SAME banded production loop as the
+    single-chip drivers on a BVH (packet-traversal) scene — rays sharded
+    over the mesh, scene replicated. Transport RNG is keyed by ray index,
+    so sharded and single-device runs are the same estimator (reference
+    analog: one tile scheduler serves every integrator,
+    src/render.cpp:82-90)."""
+    from gdpt_tpu.parallel import sharding
+
+    # Force the banded loop (not wavefront) on the single-device run so
+    # both sides take the identical code path.
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    mesh = sharding.make_mesh(jax.devices()[:8])
+    sc = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
+                             force_bvh=True)
+    assert not sc.static.use_brute_force
+    a = sharding.render_soa_sharded(sc, mesh, spp=2, seed=9)
+    b = path_soa.render_soa(sc, spp=2, seed=9)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+
+    scg = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
+                              integrator="gradpath", force_bvh=True)
+    from gdpt_tpu.integrators import gdpt_soa
+
+    ag = sharding.render_gradpath_soa_sharded(scg, mesh, spp=2, seed=9)
+    bg = gdpt_soa.render_gradpath_soa(scg, spp=2, seed=9)
+    np.testing.assert_allclose(ag, bg, rtol=2e-4, atol=1e-5)
+
+
 def test_soa_float_texture_matches_aos():
     """Image-textured roughness (float slot) through the SoA fast path
     vs per-ray (reference capability: src/texture.h Texture<Real>)."""
