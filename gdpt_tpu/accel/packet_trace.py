@@ -813,14 +813,19 @@ def _hit_attribs(tab: PacketTable, org: V3, d: V3, t, prim, n_tris):
 
 
 def _two_phase_on(n):
-    """Two-phase entry traversal default: on for big batches (its sort/
-    scatter overhead needs lanes to amortize), overridable by env."""
-    flag = os.environ.get("GDPT_TWO_PHASE", "auto")
-    if flag == "0":
-        return False
+    """Two-phase entry traversal is opt-in (GDPT_TWO_PHASE=1).
+
+    Measured on sponza (v5e, 1M rays): correct (hitmask/prim/t match
+    single-phase exactly) but 3-8x slower — incoherent interior rays
+    cross more than entry_iters of the ~K entry boxes, so most lanes
+    fall through to the root cleanup walk and the 4 extra dispatches +
+    per-dispatch sort/scatter are pure overhead. Kept for coherent
+    primary-ray workloads and table-over-VMEM scenes where subtree
+    residency matters more than dispatch count."""
+    flag = os.environ.get("GDPT_TWO_PHASE", "0")
     if flag == "1":
-        return True
-    return n >= 4 * PACKET_ROWS * 128
+        return n >= 4 * PACKET_ROWS * 128
+    return False
 
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
