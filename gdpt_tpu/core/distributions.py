@@ -127,3 +127,61 @@ def pdf_2d(table: TableDist2D, uv):
     x = jnp.clip((uv[..., 0] * w).astype(INT), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(INT), 0, h - 1)
     return table.pdf_marginals[y] * table.pdf_rows[y, x] * w * h
+
+
+def build_alias_table(weights):
+    """Vose alias table for O(1) categorical sampling on device.
+
+    The CDF samplers above mirror the reference's binary searches
+    (src/table_dist.cpp:119-143); a searchsorted over an N-entry table
+    costs log2(N) dependent gathers per lane on TPU, which dominates NEE
+    on envmap scenes. The alias form replaces that with two gathers:
+    k = floor(u*N) plus one probability compare against cut[k].
+
+    Returns (cut f32[N], alias i32[N]): keep k where frac < cut[k],
+    else take alias[k]. Built on host in numpy (scene-build time).
+    """
+    w = np.asarray(weights, np.float64).ravel()
+    n = w.shape[0]
+    if n == 0:
+        return (jnp.zeros(0, REAL), jnp.zeros(0, INT))
+    total = w.sum()
+    if not np.isfinite(total) or total <= 0:
+        w = np.ones(n)
+        total = float(n)
+    p = w * (n / total)  # mean 1
+    cut = np.ones(n)
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        cut[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    for i in small + large:
+        cut[i] = 1.0
+        alias[i] = i
+    return jnp.asarray(cut, REAL), jnp.asarray(alias, INT)
+
+
+def sample_alias(cut, alias, u):
+    """Categorical index + a re-uniformized leftover in [0,1).
+
+    The leftover re-stretches the coin (frac vs cut[k]) back to a
+    uniform, so callers can reuse it as an in-cell jitter without
+    drawing another random number.
+    """
+    n = cut.shape[0]
+    un = u * n
+    k = jnp.clip(un.astype(INT), 0, n - 1)
+    f = un - k.astype(un.dtype)
+    c = jnp.take(cut, k, axis=0, mode="clip")
+    a = jnp.take(alias, k, axis=0, mode="clip")
+    keep = f < c
+    idx = jnp.where(keep, k, a)
+    left = jnp.where(keep, f / jnp.maximum(c, 1e-12),
+                     (f - c) / jnp.maximum(1.0 - c, 1e-12))
+    return idx, jnp.clip(left, 0.0, 0.999999)

@@ -97,6 +97,8 @@ class SceneSoA(NamedTuple):
     env_pdf_rows: jnp.ndarray
     env_cdf_marginals: jnp.ndarray
     env_pdf_marginals: jnp.ndarray
+    env_alias_cut: jnp.ndarray
+    env_alias_idx: jnp.ndarray
 
 
 def supports_soa(scene: Scene) -> bool:
@@ -113,6 +115,13 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
     env_rgb = dev.envmap.tex.value[0]
+    # Flat alias table over envmap texels (build once on host): texel
+    # probability = marginal[y] * conditional[y, x].
+    from gdpt_tpu.core import distributions as gdist
+
+    env_w = np.asarray(dev.envmap.dist.pdf_marginals, np.float64)[:, None] \
+        * np.asarray(dev.envmap.dist.pdf_rows, np.float64)
+    env_alias_cut, env_alias_idx = gdist.build_alias_table(env_w)
     idx = np.asarray(dev.tri_index)
     vn = np.asarray(dev.vtx_normal)
     vuv = np.asarray(dev.vtx_uv)
@@ -226,6 +235,8 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         env_pdf_rows=dev.envmap.dist.pdf_rows,
         env_cdf_marginals=dev.envmap.dist.cdf_marginals,
         env_pdf_marginals=dev.envmap.dist.pdf_marginals,
+        env_alias_cut=env_alias_cut,
+        env_alias_idx=env_alias_idx,
     )
 
 
@@ -239,7 +250,8 @@ def _env_view(static, sc: SceneSoA) -> tsoa.EnvmapSoA:
         tex.TEX_IMAGE if static.envmap_is_image else tex.TEX_CONST,
         sc.env_value, sc.env_img_id,
         sc.env_cdf_rows, sc.env_pdf_rows,
-        sc.env_cdf_marginals, sc.env_pdf_marginals, w, h,
+        sc.env_cdf_marginals, sc.env_pdf_marginals,
+        sc.env_alias_cut, sc.env_alias_idx, w, h,
     )
 
 

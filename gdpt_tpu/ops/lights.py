@@ -214,20 +214,23 @@ def emission_light(scene: DeviceScene, static: SceneStatic, light_id,
 
 
 def envmap_emission(scene: DeviceScene, dir_to_env, spread):
-    """Radiance arriving from the envmap along dir_to_env (scene->env),
-    with the du/dx footprint propagation of reference:
-    src/lights/envmap.inl:44-73."""
+    """Radiance arriving from the envmap along dir_to_env (scene->env).
+
+    Always a level-0 bilinear lookup, replicating the reference exactly:
+    src/lights/envmap.inl:60-72 computes footprint =
+    min(sqrt(dudwx^2+dudwz^2), dvdwy) where dvdwy = -1/sqrt(...) is
+    always NEGATIVE, so the min is always negative and never multiplied
+    by the ray spread; texture.h:137-138 then clamps
+    log2(max(neg, 1e-8)) far below level 0. Net effect: the reference's
+    envmap lookups are unconditionally level-0 bilinear, and matching
+    its artifacts (images/disney_*.exr) requires doing the same — a
+    'corrected' trilinear footprint shifts disney_bsdf's mean by +29%
+    vs the reference render."""
+    del spread
     uv, _ = envmap_uv_from_dir(scene, dir_to_env)
-    local = _xform_vec(scene.envmap.to_local, dir_to_env)
-    wx, wy, wz = local[0], local[1], local[2]
-    denom = jnp.maximum(wx * wx + wz * wz, 1e-20)
-    dudwx = -wz / denom
-    dudwz = wx / denom
-    dvdwy = -1.0 / jnp.maximum(gm.safe_sqrt(1.0 - wy * wy), 1e-10)
-    footprint = jnp.minimum(jnp.sqrt(dudwx * dudwx + dudwz * dudwz), jnp.abs(dvdwy))
-    footprint = footprint * spread
     val = tex.eval_texture(
-        scene.pool3, tex.gather_desc(scene.envmap.tex, jnp.asarray(0, INT)), uv, footprint
+        scene.pool3, tex.gather_desc(scene.envmap.tex, jnp.asarray(0, INT)),
+        uv, jnp.asarray(0.0, REAL),
     )
     return val * scene.envmap.scale
 

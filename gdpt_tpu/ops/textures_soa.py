@@ -209,6 +209,11 @@ class EnvmapSoA(NamedTuple):
     pdf_rows: jnp.ndarray
     cdf_marginals: jnp.ndarray
     pdf_marginals: jnp.ndarray
+    # Flat alias table over the w*h texels (core/distributions.py
+    # build_alias_table): O(1) sampling instead of log2(h)+log2(w)
+    # dependent gathers per lane.
+    alias_cut: jnp.ndarray
+    alias_idx: jnp.ndarray
     width: int
     height: int
 
@@ -234,27 +239,18 @@ def envmap_uv_from_dir(env: EnvmapSoA, wdir: V3):
 
 def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3,
                         spread=None) -> V3:
-    """Radiance arriving along dir_to_env. With a per-lane ray spread,
-    image envmaps get the same du/dw footprint propagation + trilinear
-    mip filtering as the per-ray path (reference:
-    src/lights/envmap.inl:44-73); without one, level-0 bilinear."""
+    """Radiance arriving along dir_to_env. Image envmaps are always a
+    level-0 bilinear lookup, replicating the reference exactly: its
+    footprint (src/lights/envmap.inl:60-72) keeps the negative dvdwy
+    through min() and never applies the ray spread, so texture.h
+    clamps the level far below 0 — every reference envmap lookup is
+    level-0 bilinear. See ops/lights.py:envmap_emission."""
+    del spread
     u, v, _ = envmap_uv_from_dir(env, dir_to_env)
     if env.tex_kind == 1:  # TEX_IMAGE (static branch)
         n = u.shape[0]
         img_id = jnp.full(n, env.img_id, INT)
-        if spread is None:
-            val = bilinear_level0(pool, img_id, u, v)
-        else:
-            local = _xform_vec(env.to_local, dir_to_env)
-            denom = jnp.maximum(local.x ** 2 + local.z ** 2, 1e-20)
-            dudwx = -local.z / denom
-            dudwz = local.x / denom
-            dvdwy = -1.0 / jnp.maximum(
-                jnp.sqrt(jnp.maximum(1.0 - local.y ** 2, 0.0)), 1e-10)
-            fp = jnp.minimum(jnp.sqrt(dudwx ** 2 + dudwz ** 2),
-                             jnp.abs(dvdwy)) * spread
-            level = footprint_level(pool, img_id, 1.0, 1.0, fp)
-            val = trilinear(pool, img_id, u, v, level)
+        val = bilinear_level0(pool, img_id, u, v)
     else:
         ones = jnp.ones_like(u)
         val = V3(ones * env.const_value.x, ones * env.const_value.y,
@@ -264,26 +260,22 @@ def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3,
 
 def envmap_sample_dir(env: EnvmapSoA, u0, u1):
     """Importance-sample a direction toward the envmap; returns
-    (world_dir, pdf_solid_angle). Same semantics as the per-ray
+    (world_dir, pdf_solid_angle). Same distribution as the per-ray
     sample_2d + dir_from_uv pipeline (reference: src/lights/envmap.inl:8-42
-    + src/table_dist.cpp:119-143). For constant envmaps the tables are the
-    dummy uniform 2x2 grid, so this reduces to uniform-uv sampling with
-    pdf_uv = 1."""
+    + src/table_dist.cpp:119-143) — texel picked with probability
+    proportional to luminance, uniform jitter within the texel — but via
+    a flat alias table (2 gathers) instead of the reference's marginal +
+    conditional binary searches (log2(h)+log2(w) dependent gathers per
+    lane, which dominated NEE cost on envmap scenes). For constant
+    envmaps the tables are the dummy uniform 2x2 grid, so this reduces
+    to uniform-uv sampling with pdf_uv = 1."""
+    from gdpt_tpu.core import distributions as dist
+
     h, w = env.height, env.width
-    stride = w + 1
-    y = jnp.clip(
-        jnp.searchsorted(env.cdf_marginals, u1, side="right") - 1, 0, h - 1
-    ).astype(INT)
-    cm0 = soa.take(env.cdf_marginals, y)
-    cm1 = soa.take(env.cdf_marginals, y + 1)
-    dm = cm1 - cm0
-    dy = jnp.where(dm > 0, (u1 - cm0) / jnp.where(dm > 0, dm, 1.0), u1 - cm0)
-    rows_flat = env.cdf_rows.ravel()
-    x = searchsorted_rows(rows_flat, stride, y, u0, w).astype(INT)
-    c0 = soa.take(rows_flat, y * stride + x)
-    c1 = soa.take(rows_flat, y * stride + x + 1)
-    dc = c1 - c0
-    dx = jnp.where(dc > 0, (u0 - c0) / jnp.where(dc > 0, dc, 1.0), u0 - c0)
+    k, dx = dist.sample_alias(env.alias_cut, env.alias_idx, u0)
+    x = k % w
+    y = k // w
+    dy = u1
     uu = (x.astype(REAL) + dx) / w
     vv = (y.astype(REAL) + dy) / h
     azimuth = uu * 2.0 * jnp.pi

@@ -257,10 +257,11 @@ def _img_env_scene(env, mat=None, spp=64, res=24, max_depth=3):
 
 
 def test_soa_envmap_sampler_matches_per_ray():
-    """envmap_sample_dir / envmap_pdf_dir / envmap_emission_soa are
-    bit-compatible with the per-ray sample_2d / pdf_2d / envmap_emission
-    pipeline (level-0 lookups)."""
-    from gdpt_tpu.core.distributions import pdf_2d, sample_2d
+    """envmap_sample_dir draws texels from the same luminance-weighted
+    distribution as the per-ray CDF sampler (alias table vs binary
+    search — identical law, different u->texel mapping), and its pdf /
+    emission agree bit-for-bit with the per-ray oracle at the sampled
+    directions."""
     from gdpt_tpu.ops import lights as L
     from gdpt_tpu.ops import textures_soa as tsoa
 
@@ -271,19 +272,35 @@ def test_soa_envmap_sampler_matches_per_ray():
     envv = path_soa._env_view(sc.static, scsoa)
     dev = sc.device
     rng = np.random.RandomState(1)
-    n = 2048
+    n = 200_000
     u0 = jnp.asarray(rng.rand(n), jnp.float32)
     u1 = jnp.asarray(rng.rand(n), jnp.float32)
-    uv = jnp.stack([u0, u1], -1)
-    env_uv = jax.vmap(lambda q: sample_2d(dev.envmap.dist, q))(uv)
-    wdir_ref = jax.vmap(lambda q: L._envmap_dir_from_uv(dev, q))(env_uv)
     wdir_s, pdf_s = tsoa.envmap_sample_dir(envv, u0, u1)
     ws = np.stack([np.asarray(wdir_s.x), np.asarray(wdir_s.y), np.asarray(wdir_s.z)], -1)
-    np.testing.assert_allclose(ws, np.asarray(wdir_ref), atol=1e-6)
+    # Empirical texel frequencies vs the CDF tables' probabilities.
+    h, w = env.shape[:2]
+    uu, vv, _ = tsoa.envmap_uv_from_dir(envv, wdir_s)
+    x = np.clip((np.asarray(uu) * w).astype(np.int64), 0, w - 1)
+    y = np.clip((np.asarray(vv) * h).astype(np.int64), 0, h - 1)
+    counts = np.bincount(y * w + x, minlength=h * w).astype(np.float64)
+    pm = np.asarray(dev.envmap.dist.pdf_marginals, np.float64)
+    pr = np.asarray(dev.envmap.dist.pdf_rows, np.float64)
+    expect = (pm[:, None] * pr).ravel()
+    expect = expect / expect.sum() * n
+    hot = expect > 50
+    assert hot.any()
+    # ~5-sigma Poisson bound per texel.
+    err = np.abs(counts[hot] - expect[hot])
+    assert (err < 5.0 * np.sqrt(expect[hot]) + 5.0).all(), (
+        err / np.sqrt(expect[hot])).max()
     pdf_ref = jax.vmap(lambda d: L.pdf_point_on_light(
         dev, sc.static, jnp.asarray(0), jnp.zeros(3), -d, jnp.zeros(3)
     ))(jnp.asarray(ws))
-    np.testing.assert_allclose(np.asarray(pdf_s), np.asarray(pdf_ref), rtol=2e-4)
+    # Match per-lane except where the f32 dir->uv roundtrip lands the
+    # jittered sample in the neighboring texel (pdf_s uses the sampled
+    # texel's probability; the oracle re-derives the texel from wdir).
+    ok = np.isclose(np.asarray(pdf_s), np.asarray(pdf_ref), rtol=2e-4)
+    assert ok.mean() > 0.999, ok.mean()
     emit_ref = jax.vmap(lambda d: L.envmap_emission(dev, d, jnp.asarray(0.0)))(
         jnp.asarray(ws)
     )
