@@ -19,3 +19,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# XLA's optimization passes dominate test wall time (every integrator
+# variant is a fresh ~10-60 s CPU compile); disabling them roughly
+# halves compile time and only perturbs float results at the 1e-6
+# level, far inside every test tolerance. GDPT_TEST_OPT=1 restores
+# full optimization (e.g. to chase a suspected XLA-pass miscompile).
+if os.environ.get("GDPT_TEST_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
