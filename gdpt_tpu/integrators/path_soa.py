@@ -10,7 +10,7 @@ Coverage: the full 9-material stack (ops/materials_soa.py) with
 constant/checkerboard/image spectrum and float slots, mesh + sphere
 area lights, constant and image environment maps. Image lookups carry
 per-lane ray differentials (radius/spread in the loop state, per-tri
-footprint constants in tri_attr cols 20-21) into trilinear mip
+footprint constants tri_inv_uv/tri_mean_curv) into trilinear mip
 filtering, matching the per-ray path's eval_texture
 (reference: src/texture.h:129-139, src/mipmap.h:76-88).
 """
@@ -47,16 +47,13 @@ _CTR_STRIDE = 16
 class SceneSoA(NamedTuple):
     geom: trs.GeomSoA
     # Fused per-triangle attribute rows (T, 20) f32: n0 n1 n2 (9),
-    # uv0 uv1 uv2 (6), shape_id, has_normals, has_uvs, material_id,
-    # light_id (ids as exact small floats — never bitcast int payloads
-    # through f32 tables, see accel/super16.py's NaN note). One wide row
-    # gather per hit replaces ~18 per-column gathers: on TPU an N-row
-    # gather costs the same up to ~448B of width, and the per-gather
-    # dispatch (~4ms per 350k lanes) dominated shade_hit.
-    tri_attr: jnp.ndarray
     # Per-triangle flattened vertex attributes: one gather level instead of
     # tri_index -> vtx chains (XLA demotes chained small-table gathers in
-    # while loops to ~100ms host-read fusions on TPU).
+    # while loops to ~100ms host-read fusions on TPU). Kept as SEPARATE
+    # per-column arrays on purpose: a fused (T, 22) row gather measured
+    # 2x SLOWER end-to-end (cbox 306->129 Mrays/s) because every column
+    # slice of the gathered (N, 22) buffer re-reads it — same trap as
+    # the (N, 128) probe result in the README's gather notes.
     tri_n0: V3
     tri_n1: V3
     tri_n2: V3
@@ -69,6 +66,13 @@ class SceneSoA(NamedTuple):
     tri_shape_id: jnp.ndarray
     tri_has_normals: jnp.ndarray
     tri_has_uvs: jnp.ndarray
+    # Per-triangle material/light ids (shape tables pre-flattened to
+    # prims: single take instead of tri->shape->mat chained gathers)
+    # and ray-differential footprint constants.
+    tri_material_id: jnp.ndarray
+    tri_light_id: jnp.ndarray
+    tri_inv_uv: jnp.ndarray
+    tri_mean_curv: jnp.ndarray
     sph_shape_id: jnp.ndarray
     shape_kind: jnp.ndarray
     shape_material_id: jnp.ndarray
@@ -186,21 +190,15 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
             has_n_h,
             0.5 * ((dndu * tan).sum(1) + (dndv * bit).sum(1)),
             0.0).astype(np.float32)
-    tri_attr = np.concatenate(
-        [n0, n1, n2, uv0, uv1, uv2,
-         t_shape[:, None].astype(np.float32),
-         np.asarray(dev.tri_has_normals)[:, None].astype(np.float32),
-         np.asarray(dev.tri_has_uvs)[:, None].astype(np.float32),
-         (shape_mat[t_shape][:, None] if t_shape.size
-          else np.zeros((0, 1))).astype(np.float32),
-         (shape_lgt[t_shape][:, None] if t_shape.size
-          else np.zeros((0, 1))).astype(np.float32),
-         inv_uv[:, None], mc[:, None]],
-        axis=1).astype(np.float32) if idx.shape[0] else \
-        np.zeros((0, 22), np.float32)
+    else:
+        inv_uv = np.zeros(0, np.float32)
+        mc = np.zeros(0, np.float32)
+    tri_mat = (shape_mat[t_shape] if t_shape.size
+               else np.zeros(0)).astype(np.int32)
+    tri_lgt = (shape_lgt[t_shape] if t_shape.size
+               else np.zeros(0)).astype(np.int32)
     return SceneSoA(
         geom=trs.geom_soa_from_aos(dev.geom),
-        tri_attr=jnp.asarray(tri_attr),
         tri_n0=soa.from_rows(jnp.asarray(n0)),
         tri_n1=soa.from_rows(jnp.asarray(n1)),
         tri_n2=soa.from_rows(jnp.asarray(n2)),
@@ -210,6 +208,10 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         tri_shape_id=dev.geom.tri_shape_id,
         tri_has_normals=dev.tri_has_normals,
         tri_has_uvs=dev.tri_has_uvs,
+        tri_material_id=jnp.asarray(tri_mat),
+        tri_light_id=jnp.asarray(tri_lgt),
+        tri_inv_uv=jnp.asarray(inv_uv),
+        tri_mean_curv=jnp.asarray(mc),
         sph_shape_id=dev.geom.sph_shape_id,
         shape_kind=dev.shape_kind,
         shape_material_id=dev.shape_material_id,
@@ -297,7 +299,6 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
     tri_light_id = None
     if static.n_tris:
         tid = jnp.clip(prim, 0, static.n_tris - 1)
-        attr = jnp.take(sc.tri_attr, tid, axis=0, mode="clip")
         if gn_raw is not None:
             gn_tri = soa.normalize(gn_raw)
         else:
@@ -305,32 +306,38 @@ def shade_hit(static, sc: SceneSoA, org: V3, d: V3, hit: trs.HitSoA,
             e2 = soa.gather(sc.geom.tri_e2, tid)
             gn_tri = soa.normalize(soa.cross(e1, e2))
         if static.any_mesh_normals:
-            has_n = attr[:, 16] > 0
+            has_n = soa.take(sc.tri_has_normals, tid)
             b1 = hit.u
             b2 = hit.v
             b0 = 1.0 - b1 - b2
             n_interp = soa.normalize(
-                V3(attr[:, 0], attr[:, 1], attr[:, 2]) * b0
-                + V3(attr[:, 3], attr[:, 4], attr[:, 5]) * b1
-                + V3(attr[:, 6], attr[:, 7], attr[:, 8]) * b2
+                soa.gather(sc.tri_n0, tid) * b0
+                + soa.gather(sc.tri_n1, tid) * b1
+                + soa.gather(sc.tri_n2, tid) * b2
             )
             sn_tri = soa.where(has_n, n_interp, gn_tri)
         else:
             sn_tri = gn_tri
         gn = gn_tri
         sn = sn_tri
-        shape_id = attr[:, 15].astype(INT)
-        tri_mat_id = attr[:, 18].astype(INT)
-        tri_light_id = attr[:, 19].astype(INT)
-        inv_uv = attr[:, 20]
-        mean_curv = attr[:, 21]
+        shape_id = soa.take(sc.tri_shape_id, tid)
+        tri_mat_id = soa.take(sc.tri_material_id, tid)
+        tri_light_id = soa.take(sc.tri_light_id, tid)
+        inv_uv = soa.take(sc.tri_inv_uv, tid)
+        mean_curv = soa.take(sc.tri_mean_curv, tid)
         if static.any_mesh_uvs:
-            has_uv = attr[:, 17] > 0
+            has_uv = soa.take(sc.tri_has_uvs, tid)
             b0u = 1.0 - hit.u - hit.v
-            iu = (attr[:, 9] * b0u + attr[:, 11] * hit.u
-                  + attr[:, 13] * hit.v)
-            iv = (attr[:, 10] * b0u + attr[:, 12] * hit.u
-                  + attr[:, 14] * hit.v)
+            iu = (
+                soa.take(sc.tri_uv0_u, tid) * b0u
+                + soa.take(sc.tri_uv1_u, tid) * hit.u
+                + soa.take(sc.tri_uv2_u, tid) * hit.v
+            )
+            iv = (
+                soa.take(sc.tri_uv0_v, tid) * b0u
+                + soa.take(sc.tri_uv1_v, tid) * hit.u
+                + soa.take(sc.tri_uv2_v, tid) * hit.v
+            )
             uv_u = jnp.where(has_uv, iu, uv_u)
             uv_v = jnp.where(has_uv, iv, uv_v)
     if static.n_spheres:
