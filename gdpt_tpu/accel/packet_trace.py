@@ -79,7 +79,8 @@ class PacketTable(NamedTuple):
 
 def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                        prim_order, tri_v0, tri_e1, tri_e2,
-                       sph_center=None, sph_radius=None):
+                       sph_center=None, sph_radius=None,
+                       leaf_skip_from=None):
     """Host-side collapse of the binary miss-link BVH into the packet
     table. Returns None when the scene exceeds the VMEM residency cap.
 
@@ -239,6 +240,14 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     for li, (a, cnt) in enumerate(leaf_rows):
         row = n_super + li
         prims = order[a: a + cnt].astype(np.int32)
+        if leaf_skip_from is not None:
+            # Few-sphere scenes test spheres OUTSIDE the kernel
+            # (traverse_soa brute merge): dropping them from leaf rows
+            # removes the in-kernel sphere branch, which otherwise
+            # doubles the VPU work of EVERY leaf visit scene-wide
+            # (geo9 keeps the sphere rows for _hit_attribs).
+            prims = prims[prims < leaf_skip_from]
+            cnt = prims.shape[0]
         table[row, : cnt * 9] = geo9[prims].reshape(-1)
         ids = np.full(LEAF_TRIS, -1, np.int32)
         ids[:cnt] = prims
@@ -598,7 +607,10 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
         # packets (which exit after one root visit).
         keys = jnp.where(alive, keys, jnp.int32(2**30))
         perm = jnp.argsort(keys)
-        inv_perm = jnp.argsort(perm)
+        # Invert by scatter (O(n)) — a second argsort doubles the sort
+        # cost, which is ~25% of a traversal call at 1M rays.
+        inv_perm = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
         take = lambda v: jnp.take(v, perm, axis=0)
         org = V3(take(org.x), take(org.y), take(org.z))
         d = V3(take(d.x), take(d.y), take(d.z))

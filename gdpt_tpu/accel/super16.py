@@ -57,7 +57,7 @@ class Super16(NamedTuple):
 
 def build_super16(bvh_bbox_min, bvh_bbox_max, first, count, miss, prim_order,
                   tri_v0, tri_e1, tri_e2, sph_center=None, sph_radius=None,
-                  leaf_tris=12):
+                  leaf_tris=12, leaf_skip_from=None):
     """Host-side collapse of the binary miss-link BVH into Super16 tables.
 
     Spheres (prim ids past the triangle range, e.g. point lights —
@@ -103,14 +103,15 @@ def build_super16(bvh_bbox_min, bvh_bbox_max, first, count, miss, prim_order,
 
     for L in ([leaf_tris] + [16, 24, 32, 48, 64]):
         packed = _try_build(bmin, bmax, miss, is_leaf_b, cnt_sub,
-                            pstart[:-1], order, geo9, n_nodes, L)
+                            pstart[:-1], order, geo9, n_nodes, L,
+                            leaf_skip_from)
         if packed is not None:
             return packed
     return None
 
 
 def _try_build(bmin, bmax, miss, is_leaf_b, cnt_sub, pstart, order,
-               geo9, n_nodes, L):
+               geo9, n_nodes, L, leaf_skip_from=None):
     # Fat-leaf roots: maximal subtrees with <= L prims, in DFS order.
     fat_of = {}
     fat_ranges = []
@@ -192,6 +193,11 @@ def _try_build(bmin, bmax, miss, is_leaf_b, cnt_sub, pstart, order,
     prim_pad = np.full((n_fat, L), -1, np.int32)
     for fi, (lo, cnt) in enumerate(fat_ranges):
         prims = order[lo: lo + cnt].astype(np.int32)
+        if leaf_skip_from is not None:
+            # Spheres tested outside the walk (traverse_soa brute
+            # merge); drop them from leaves, keep geo9 rows.
+            prims = prims[prims < leaf_skip_from]
+            cnt = prims.shape[0]
         table[n_super + fi, : cnt * 9] = geo9[prims].reshape(-1)
         prim_pad[fi, :cnt] = prims
     table.view(np.int32)[n_super:, 9 * L: 10 * L] = prim_pad

@@ -103,6 +103,13 @@ def _pack_bvh(geom):
 
 
 
+# Scenes with at most this many spheres keep them OUT of the BVH walk
+# tables and brute-test them per lane instead (see geom_soa_from_aos /
+# _sph_outside): an in-table sphere forces the kernel's sphere branch
+# into every leaf visit scene-wide, ~doubling leaf VPU work.
+SPH_BRUTE_MAX = 8
+
+
 def _use_packet():
     import os
 
@@ -118,7 +125,14 @@ def geom_soa_from_aos(geom) -> GeomSoA:
     nodes48 = _pack_bvh(geom)
     packet = None
     sup16 = None
-    n_prims = geom.tri_v0.shape[0] + geom.sph_center.shape[0]
+    n_tris = geom.tri_v0.shape[0]
+    n_sph = geom.sph_center.shape[0]
+    n_prims = n_tris + n_sph
+    # Few-sphere scenes (typically a lone sphere light in a mesh
+    # scene, e.g. sponza) test spheres OUTSIDE the traversal with the
+    # brute row tester; an in-table sphere would force the kernel's
+    # sphere branch into EVERY leaf visit scene-wide.
+    skip = n_tris if 0 < n_sph <= SPH_BRUTE_MAX else None
     if n_prims > 128 and _use_packet():
         from gdpt_tpu.accel import packet_trace, super16 as s16
 
@@ -126,13 +140,13 @@ def geom_soa_from_aos(geom) -> GeomSoA:
             geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
             geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
             geom.tri_v0, geom.tri_e1, geom.tri_e2,
-            geom.sph_center, geom.sph_radius)
+            geom.sph_center, geom.sph_radius, leaf_skip_from=skip)
         if packet is None:
             sup16 = s16.build_super16(
                 geom.bvh_bbox_min, geom.bvh_bbox_max, geom.bvh_first,
                 geom.bvh_count, geom.bvh_miss, geom.bvh_prim_order,
                 geom.tri_v0, geom.tri_e1, geom.tri_e2,
-                geom.sph_center, geom.sph_radius)
+                geom.sph_center, geom.sph_radius, leaf_skip_from=skip)
     return GeomSoA(
         soa.from_rows(geom.tri_v0),
         soa.from_rows(geom.tri_e1),
@@ -495,6 +509,37 @@ def _use_pallas():
     return jax.default_backend() == "tpu"
 
 
+def _sph_outside(static):
+    """Few-sphere scenes: spheres ride outside the traversal tables
+    (geom_soa_from_aos built them with leaf_skip_from) and are tested
+    brute-force here."""
+    return 0 < static.n_spheres <= SPH_BRUTE_MAX
+
+
+def _merge_spheres_closest(static, g, org, d, tnear, hit: HitSoA, gn):
+    """Min-combine the brute sphere tests into a table-walk result.
+    hit.t carries tfar on miss, so bounding the sphere window by it
+    keeps only strictly closer sphere hits."""
+    n = org.x.shape[0]
+    ts, sh = _sphere_test_rows(g, org, d, tnear, hit.t)
+    ts = jnp.where(sh, ts, BIG)
+    i = jnp.argmin(ts, axis=0)
+    lane = jnp.arange(n)
+    ti = ts[i, lane]
+    closer = ti < hit.t
+    c = soa.gather(g.sph_center, i.astype(INT))
+    pos = org + d * ti
+    gn_s = pos - c
+    t2 = jnp.where(closer, ti, hit.t)
+    prim2 = jnp.where(closer, static.n_tris + i.astype(INT), hit.prim_id)
+    u2 = jnp.where(closer, 0.0, hit.u)
+    v2 = jnp.where(closer, 0.0, hit.v)
+    if gn is None:
+        gn = soa.V3(jnp.zeros(n, REAL), jnp.zeros(n, REAL),
+                    jnp.ones(n, REAL))
+    return HitSoA(t2, prim2, u2, v2), soa.where(closer, gn_s, gn)
+
+
 def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
     """Closest hit plus, when the pallas backend runs, the unnormalized
     geometric normal of the hit primitive (None otherwise)."""
@@ -504,20 +549,28 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
             return pli.intersect_brute_pallas(static, g, org, d, tnear, tfar)
         return intersect_brute_soa(static, g, org, d, tnear, tfar), None
+    in_table_sph = static.n_spheres and not _sph_outside(static)
+    n_tris_arg = static.n_tris if in_table_sph else None
     if g.packet is not None:
         from gdpt_tpu.accel import packet_trace
 
         t, prim, u, v, gn = packet_trace.intersect_packet(
-            g.packet, org, d, tnear, tfar,
-            n_tris=static.n_tris if static.n_spheres else None)
-        return HitSoA(t, prim, u, v), gn
+            g.packet, org, d, tnear, tfar, n_tris=n_tris_arg)
+        hit = HitSoA(t, prim, u, v)
+        if _sph_outside(static):
+            hit, gn = _merge_spheres_closest(static, g, org, d, tnear,
+                                             hit, gn)
+        return hit, gn
     if g.sup16 is not None:
         from gdpt_tpu.accel import super16 as s16
 
         t, prim, u, v, gn = s16.intersect_super16(
-            g.sup16, org, d, tnear, tfar,
-            n_tris=static.n_tris if static.n_spheres else None)
-        return HitSoA(t, prim, u, v), gn
+            g.sup16, org, d, tnear, tfar, n_tris=n_tris_arg)
+        hit = HitSoA(t, prim, u, v)
+        if _sph_outside(static):
+            hit, gn = _merge_spheres_closest(static, g, org, d, tnear,
+                                             hit, gn)
+        return hit, gn
     if g.bvh_nodes48 is not None:
         return intersect_bvh_packed(static, g, org, d, tnear, tfar)
     return intersect_bvh_soa(static, g, org, d, tnear, tfar), None
@@ -534,18 +587,24 @@ def occluded_soa(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
 
             return pli.occluded_brute_pallas(static, g, org, d, tnear, tfar)
         return occluded_brute_soa(static, g, org, d, tnear, tfar)
+    in_table_sph = static.n_spheres and not _sph_outside(static)
+    n_tris_arg = static.n_tris if in_table_sph else None
+    occ = None
     if g.packet is not None:
         from gdpt_tpu.accel import packet_trace
 
-        return packet_trace.occluded_packet(
-            g.packet, org, d, tnear, tfar,
-            n_tris=static.n_tris if static.n_spheres else None)
-    if g.sup16 is not None:
+        occ = packet_trace.occluded_packet(
+            g.packet, org, d, tnear, tfar, n_tris=n_tris_arg)
+    elif g.sup16 is not None:
         from gdpt_tpu.accel import super16 as s16
 
-        return s16.occluded_super16(
-            g.sup16, org, d, tnear, tfar,
-            n_tris=static.n_tris if static.n_spheres else None)
+        occ = s16.occluded_super16(
+            g.sup16, org, d, tnear, tfar, n_tris=n_tris_arg)
+    if occ is not None:
+        if _sph_outside(static):
+            _, sh = _sphere_test_rows(g, org, d, tnear, tfar)
+            occ = occ | sh.any(axis=0)
+        return occ
     return occluded_bvh_soa(static, g, org, d, tnear, tfar)
 
 

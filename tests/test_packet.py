@@ -146,3 +146,70 @@ def test_two_phase_nonfinite_and_dead_lanes():
     assert (prim[out] == -1).all()
     bt, bp = _brute(v0, e1, e2, org, d)
     assert (prim[~out] == bp[~out]).all()
+
+
+def test_few_spheres_outside_table(monkeypatch):
+    """Scenes with <= SPH_BRUTE_MAX spheres keep them out of the walk
+    tables (leaf_skip_from) and brute-merge them in traverse_soa; the
+    dispatch must agree with the all-in-table brute oracle on a mixed
+    tri+sphere scene (intersect AND occluded)."""
+    monkeypatch.setenv("GDPT_PACKET", "1")
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.scene import model as M, build
+    from gdpt_tpu.core import transform as xf
+
+    rng = np.random.RandomState(11)
+    ntris = 220
+    v0, v1, v2 = _soup(ntris, seed=11)
+    mesh = M.TriangleMesh(
+        positions=np.concatenate([v0, v1, v2]).astype(np.float32),
+        indices=np.stack([np.arange(ntris), np.arange(ntris) + ntris,
+                          np.arange(ntris) + 2 * ntris], -1).astype(np.int32),
+        material_id=0)
+    spheres = [M.Sphere(center=np.array([0.0, 0.0, 6.0 + 3 * i]),
+                        radius=1.0 + 0.3 * i, material_id=0)
+               for i in range(3)]
+    cam = M.Camera(xf.look_at([0, 0, 40], [0, 0, 0], [0, 1, 0]),
+                   45.0, 16, 16)
+    lights = [M.DiffuseAreaLight(shape_id=1, intensity=np.ones(3))]
+    opts = M.RenderOptions(integrator="path", samples_per_pixel=1,
+                           max_depth=2)
+    sc = build.build_scene(cam, [M.Lambertian(0.5)], [mesh] + spheres,
+                           lights, options=opts)
+    static = sc.static
+    assert not static.use_brute_force and static.n_spheres == 3
+    from gdpt_tpu.integrators import path_soa as ps
+    g = ps.scene_soa_from_aos(sc).geom
+    assert g.packet is not None or g.sup16 is not None
+    # Spheres must be absent from the built tables' leaves.
+    nr = 512
+    org = rng.randn(nr, 3).astype(np.float32) * 2
+    org[:, 2] = 45.0
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (nr, 1))
+    d += rng.randn(nr, 3).astype(np.float32) * 0.05
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hit, gn = trs.intersect_soa_gn(static, g, _v3(org), _v3(d), 1e-4, 1e9)
+    bhit = trs.intersect_brute_soa(static, g, _v3(org), _v3(d), 1e-4,
+                                   jnp.full(nr, 1e9))
+    assert (np.asarray(hit.prim_id) == np.asarray(bhit.prim_id)).all()
+    good = np.asarray(bhit.prim_id) >= 0
+    assert good.mean() > 0.15
+    sph_hits = np.asarray(bhit.prim_id) >= static.n_tris
+    assert sph_hits.any(), "test geometry must produce sphere hits"
+    np.testing.assert_allclose(np.asarray(hit.t)[good],
+                               np.asarray(bhit.t)[good],
+                               rtol=1e-3, atol=1e-4)
+    if gn is not None:
+        gnn = np.stack([np.asarray(gn.x), np.asarray(gn.y),
+                        np.asarray(gn.z)], -1)
+        gnn = gnn / np.maximum(
+            np.linalg.norm(gnn, axis=1, keepdims=True), 1e-20)
+        pos = org + d * np.asarray(hit.t)[:, None]
+        for i, s in enumerate(spheres):
+            m = np.asarray(hit.prim_id) == static.n_tris + i
+            if m.any():
+                ref = (pos[m] - s.center) / s.radius
+                np.testing.assert_allclose(gnn[m], ref, atol=1e-3)
+    occ = trs.occluded_soa(static, g, _v3(org), _v3(d), 1e-4,
+                           jnp.full(nr, 1e9))
+    np.testing.assert_array_equal(np.asarray(occ) > 0, good)
