@@ -292,9 +292,20 @@ def trace_gdpt_soa(static, camera, sc: ps.SceneSoA, xs, ys, ray_idx, seed,
                 oc=oc, op=op, oj=oj,
                 o_params=o_params, o_view=o_view, o_samp=o_samp,
                 can_reconnect=can_reconnect, dir_rec=dir_rec,
-                probe_tfar=jnp.where(extend & ovalid & can_reconnect,
-                                     BIG, -1.0),
-                rep_tfar=jnp.where(extend & ovalid, BIG, -1.0),
+                # MERGED offsets follow the base path exactly (their
+                # contribution is oc * f_base and their next vertex is
+                # the base's nxt) — neither the reconnection probe nor
+                # the replay ray is consulted for them, so both ride as
+                # dead rays. On all-diffuse scenes (sponza) offsets
+                # merge at the first bounce, which empties ~all 8n
+                # offset traversal lanes for the rest of the path. The
+                # replay result is also unused when the reconnection
+                # fires this bounce (do_rec), so it's gated on
+                # ~can_reconnect too.
+                probe_tfar=jnp.where(
+                    extend & ovalid & can_reconnect & ~merged, BIG, -1.0),
+                rep_tfar=jnp.where(
+                    extend & ovalid & ~merged & ~can_reconnect, BIG, -1.0),
             ))
 
         def cat(vs):

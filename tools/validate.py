@@ -142,6 +142,25 @@ def main():
         m["rmse_conv"] = round(rmse(ours_sp[16], ref), 5)
         results[f"sponza_path_{spp}spp"] = m
 
+    # ---- sponza gradpath: equal-spp + converged cross-check --------
+    # The reference's own 256-spp GDPT reconstruction
+    # (sponza_grad_path_trace/s_gp_256.exr, mean 0.0514) is the
+    # converged gradient-domain artifact; low-spp GDPT recon artifacts
+    # are dominated by reconstruction noise (see the 1/4-spp history in
+    # git), so the meaningful rows are 16-spp equal and 16-vs-256.
+    t0 = time.time()
+    img_gp = np.asarray(render_scene(sp, spp_override=16, seed=5,
+                                     integrator_override="gradpath"))
+    print(f"sponza gradpath 16 spp: {time.time()-t0:.1f}s "
+          f"mean {img_gp.mean():.5f}", flush=True)
+    for tag, refp in (
+        ("16spp", f"{REF}/gdpt_renders/sponza_grad_path_trace/s_gp_16.exr"),
+        ("conv256", f"{REF}/gdpt_renders/sponza_grad_path_trace/s_gp_256.exr"),
+    ):
+        ref = imread(refp)
+        if ref.shape == img_gp.shape:
+            results[f"sponza_gradpath_{tag}"] = metrics(img_gp, ref)
+
     results["_wall_s"] = round(time.time() - t_all, 1)
     with open(OUT_JSON, "w") as f:
         json.dump(results, f, indent=1)
