@@ -449,7 +449,7 @@ def _gdpt_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
         acc, rays = carry
         out, nr = trace_gdpt_soa(
             static, camera, sc, xs, ys, ray_idx, seed,
-            sample0 + i.astype(jnp.uint32),
+            sample0 + jnp.asarray(i, jnp.uint32),
         )
         return (
             jax.tree_util.tree_map(lambda a, o: a + o, acc, out),

@@ -46,7 +46,6 @@ _CTR_STRIDE = 16
 
 class SceneSoA(NamedTuple):
     geom: trs.GeomSoA
-    # Fused per-triangle attribute rows (T, 20) f32: n0 n1 n2 (9),
     # Per-triangle flattened vertex attributes: one gather level instead of
     # tri_index -> vtx chains (XLA demotes chained small-table gathers in
     # while loops to ~100ms host-read fusions on TPU). Kept as SEPARATE
@@ -1064,7 +1063,7 @@ def _soa_pass(static, camera, sc, xs, ys, ray_idx, seed, sample0, n_samples):
         acc, rays = carry
         r, nr = trace_paths_soa(
             static, camera, sc, xs, ys, ray_idx, seed,
-            sample0 + i.astype(jnp.uint32),
+            sample0 + jnp.asarray(i, jnp.uint32),
         )
         return (
             V3(acc.x + r.x, acc.y + r.y, acc.z + r.z),

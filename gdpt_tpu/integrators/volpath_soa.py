@@ -539,7 +539,7 @@ def _vol_pass(static, camera, sc, media, xs, ys, ray_idx, seed, sample0,
         acc, rays = carry
         r, nr = trace_volpath_soa(
             static, camera, sc, media, xs, ys, ray_idx, seed,
-            sample0 + i.astype(jnp.uint32),
+            sample0 + jnp.asarray(i, jnp.uint32),
         )
         return V3(acc.x + r.x, acc.y + r.y, acc.z + r.z), rays + nr
 
