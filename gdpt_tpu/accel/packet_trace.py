@@ -181,17 +181,64 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                     queue.append((c, depth + 1))
 
     n_super = len(order_q)
-    # Leaf chains: fat leaf fi occupies rows leaf_row[fi] .. +nrows-1.
-    leaf_rows = []
-    leaf_start = np.zeros(len(fat_ranges), np.int64)
-    for fi, (lo, cnt) in enumerate(fat_ranges):
-        leaf_start[fi] = n_super + len(leaf_rows)
-        nr = max(1, (cnt + LEAF_TRIS - 1) // LEAF_TRIS)
-        for r in range(nr):
-            a = lo + r * LEAF_TRIS
-            b = min(lo + cnt, a + LEAF_TRIS)
-            leaf_rows.append((a, b - a))
-    n_rows = n_super + len(leaf_rows)
+
+    def eff_prims(c):
+        """A fat node's prim ids, minus any outside-tested spheres."""
+        lo, cnt = fat_ranges[fat_of[c]]
+        p = order[lo: lo + cnt].astype(np.int32)
+        if leaf_skip_from is not None:
+            p = p[p < leaf_skip_from]
+        return p
+
+    # Sibling-leaf bin packing: SAH leaves average ~8 of the row's 12
+    # slots, so sibling leaf children of the same supernode are packed
+    # together (first-fit by descending count) into shared rows — fewer
+    # leaf rows means fewer leaf visits, the bulk of incoherent packet
+    # cost. Each group gets a tight bbox recomputed from its triangles
+    # (also sheds the slack a skipped sphere left in the node bbox).
+    leaf_groups = []   # np.int32 prim-id arrays, each <= LEAF_TRIS
+    group_bbox = []    # (bmin3, bmax3) per group
+    node_group = {}    # fat node -> group index
+    kid_entries = []   # per super: [("s", node) | ("l", group_index)]
+    for si in range(n_super):
+        kids = [c for c in kids_of[si] if c is not None]
+        entries = [("s", c) for c in kids if c not in fat_of]
+        leaf_kids = sorted((c for c in kids if c in fat_of),
+                           key=lambda c: -eff_prims(c).shape[0])
+        bins = []  # [member nodes, prim total]
+        for c in leaf_kids:
+            k = eff_prims(c).shape[0]
+            for b_ in bins:
+                if b_[1] + k <= LEAF_TRIS:
+                    b_[0].append(c)
+                    b_[1] += k
+                    break
+            else:
+                bins.append([[c], k])
+        for members, _tot in bins:
+            prims = (np.concatenate([eff_prims(c) for c in members])
+                     if members else np.zeros(0, np.int32))
+            if prims.shape[0] == 0:
+                continue  # only skipped spheres lived here: drop child
+            gi = len(leaf_groups)
+            leaf_groups.append(prims)
+            vs = np.concatenate([geo9[prims, 0:3],
+                                 geo9[prims, 0:3] + geo9[prims, 3:6],
+                                 geo9[prims, 0:3] + geo9[prims, 6:9]])
+            group_bbox.append((vs.min(axis=0), vs.max(axis=0)))
+            for c in members:
+                node_group[c] = gi
+            entries.append(("l", gi))
+        kid_entries.append(entries)
+    # Shared all-dead leaf row: target for fat nodes whose prims were
+    # all skipped (two-phase entry refs can still name them).
+    empty_gi = None
+    if leaf_skip_from is not None:
+        empty_gi = len(leaf_groups)
+        leaf_groups.append(np.zeros(0, np.int32))
+        group_bbox.append((np.full(3, 3e38, np.float32),
+                           np.full(3, -3e38, np.float32)))
+    n_rows = n_super + len(leaf_groups)
     if n_rows * 128 * 4 > MAX_TABLE_BYTES:
         return None
 
@@ -204,50 +251,41 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             table[si, k * 6 + 3: k * 6 + 6] = np.float32(-3e38)
         ti[si, 96:112] = _EMPTY
 
-    def leaf_ref(fi):
-        lo, cnt = fat_ranges[fi]
-        nr = max(1, (cnt + LEAF_TRIS - 1) // LEAF_TRIS)
-        return np.int32(~np.int32(leaf_start[fi] | (nr << _CHAIN_SHIFT)))
+    def group_ref(gi):
+        return np.int32(~np.int32((n_super + gi) | (1 << _CHAIN_SHIFT)))
 
     for si in range(n_super):
-        kids = [c for c in kids_of[si] if c is not None]
+        ents = kid_entries[si]
+        boxes = [(bmin[x], bmax[x]) if kind == "s" else group_bbox[x]
+                 for kind, x in ents]
         # Children are stored sorted by centroid (ascending) along the
         # axis of greatest centroid spread; the kernel pushes slots
         # forward or backward depending on the packet's direction sign
         # along that axis, so pops come nearest-first and best-t
         # shrinks as early as possible (ordered traversal).
         axis = 0
-        if kids:
-            cen = (bmin[kids] + bmax[kids]) * 0.5
+        if ents:
+            cen = np.array([(lo + hi) * 0.5 for lo, hi in boxes])
             axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
-            kids = [kids[j] for j in np.argsort(cen[:, axis],
-                                                kind="stable")]
+            sort = np.argsort(cen[:, axis], kind="stable")
+            ents = [ents[j] for j in sort]
+            boxes = [boxes[j] for j in sort]
         valid = 0
-        for k, c in enumerate(kids):
-            table[si, k * 6 + 0: k * 6 + 3] = bmin[c]
-            table[si, k * 6 + 3: k * 6 + 6] = bmax[c]
+        for k, ((kind, x), (blo, bhi)) in enumerate(zip(ents, boxes)):
+            table[si, k * 6 + 0: k * 6 + 3] = blo
+            table[si, k * 6 + 3: k * 6 + 6] = bhi
             valid |= 1 << k
-            if c in fat_of:
-                ti[si, 96 + k] = leaf_ref(fat_of[c])
-            else:
-                ti[si, 96 + k] = np.int32(super_of[c])
+            ti[si, 96 + k] = (np.int32(super_of[x]) if kind == "s"
+                              else group_ref(x))
         # Col 120: child-validity bits — the slab test cannot reject an
         # unused slot by geometry alone (inverted boxes still pass once
         # min/max mix the +-inf slabs), so the scalar mask ANDs this in.
         ti[si, 120] = valid
         ti[si, 121] = axis  # sort axis for the ordered push
 
-    for li, (a, cnt) in enumerate(leaf_rows):
-        row = n_super + li
-        prims = order[a: a + cnt].astype(np.int32)
-        if leaf_skip_from is not None:
-            # Few-sphere scenes test spheres OUTSIDE the kernel
-            # (traverse_soa brute merge): dropping them from leaf rows
-            # removes the in-kernel sphere branch, which otherwise
-            # doubles the VPU work of EVERY leaf visit scene-wide
-            # (geo9 keeps the sphere rows for _hit_attribs).
-            prims = prims[prims < leaf_skip_from]
-            cnt = prims.shape[0]
+    for gi, prims in enumerate(leaf_groups):
+        row = n_super + gi
+        cnt = prims.shape[0]
         table[row, : cnt * 9] = geo9[prims].reshape(-1)
         ids = np.full(LEAF_TRIS, -1, np.int32)
         ids[:cnt] = prims
@@ -260,7 +298,10 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     # Entry frontier for two-phase traversal: greedily split the
     # largest-population supernode root until ~K disjoint subtrees.
     def ref_of(c):
-        return int(super_of[c]) if c in super_of else int(leaf_ref(fat_of[c]))
+        if c in super_of:
+            return int(super_of[c])
+        gi = node_group.get(c, empty_gi)
+        return int(group_ref(gi))
 
     k_target = int(os.environ.get("GDPT_ENTRY_K", "64"))
     frontier = [0]

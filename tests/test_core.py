@@ -140,3 +140,33 @@ def test_spectrum_to_rgb_flat_spectrum_is_whiteish():
 def test_luminance():
     s = jnp.array([1.0, 1.0, 1.0])
     np.testing.assert_allclose(float(gspec.luminance(s)), 1.0, atol=1e-5)
+
+
+def test_alias_table_matches_pmf():
+    """Vose alias sampling reproduces an arbitrary pmf (5-sigma/texel)
+    and the leftover coin is uniform (it re-stretches the compare)."""
+    rng = np.random.RandomState(3)
+    w = rng.rand(37) ** 3  # skewed
+    cut, alias = dist.build_alias_table(w)
+    n = 200_000
+    u = jnp.asarray(rng.rand(n), jnp.float32)
+    idx, left = dist.sample_alias(cut, alias, u)
+    counts = np.bincount(np.asarray(idx), minlength=37).astype(np.float64)
+    expect = w / w.sum() * n
+    err = np.abs(counts - expect)
+    assert (err < 5.0 * np.sqrt(expect) + 5.0).all()
+    lf = np.asarray(left)
+    assert abs(lf.mean() - 0.5) < 0.01 and abs(lf.std() - 0.28868) < 0.01
+
+
+def test_alias_table_degenerate_weights():
+    """Zero/non-finite totals fall back to uniform; empty stays empty."""
+    cut, alias = dist.build_alias_table(np.zeros(5))
+    idx, _ = dist.sample_alias(cut, alias, jnp.linspace(0, 0.999, 500))
+    counts = np.bincount(np.asarray(idx), minlength=5)
+    assert (counts > 50).all()  # uniform-ish over all 5
+    cut0, alias0 = dist.build_alias_table(np.zeros(0))
+    assert cut0.shape == (0,) and alias0.shape == (0,)
+    cut1, alias1 = dist.build_alias_table(np.array([7.0]))
+    idx1, _ = dist.sample_alias(cut1, alias1, jnp.asarray([0.1, 0.9]))
+    assert (np.asarray(idx1) == 0).all()
