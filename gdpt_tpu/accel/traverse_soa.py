@@ -1,12 +1,20 @@
-"""Batched (SoA) ray casting — the TPU performance twin of traverse.py.
+"""Batched (SoA) ray casting dispatch — replaces Embree's
+rtcIntersect1/rtcOccluded1 (reference: src/intersection.cpp:32,83).
 
-All ray state lives in (N,) component arrays (see core/soa.py). Two
-backends, same contract as the per-ray versions:
+All ray state lives in (N,) component arrays (see core/soa.py).
+Backends, chosen per scene at build time:
 
 - brute force: triangles broadcast against rays as (T, N) lanes-minor
-  intermediates. Optimal for small scenes (everything fuses on the VPU).
-- BVH: lockstep stackless traversal; every lane carries its own node
-  pointer into the flat miss-link tree; gathers are (N,)-shaped.
+  intermediates (plus a Pallas SMEM kernel on TPU). Optimal for small
+  scenes (everything fuses on the VPU).
+- packet kernel (accel/packet_trace.py, TPU): VMEM-resident 16-wide
+  table, scalar-driven shared stack per 1024-ray packet.
+- super16 (accel/super16.py): per-lane lockstep XLA walk over the same
+  collapse; the over-VMEM-cap / CPU fallback.
+- packed binary walk: one (N, 48) row gather per step; small-BVH path.
+
+Few-sphere scenes (<= SPH_BRUTE_MAX) keep spheres out of the walk
+tables entirely and brute-merge them after the walk.
 """
 
 from typing import NamedTuple

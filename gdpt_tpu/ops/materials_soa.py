@@ -1,10 +1,11 @@
 """Batched (SoA) material stack — performance twin of ops/materials.py.
 
-Same closed forms as the per-ray implementations (which remain the
-correctness oracle; tests cross-validate), written over (N,) component
-arrays. Texture support in this envelope: constant / checkerboard
-spectrum slots, constant float slots (scenes with image textures fall
-back to the per-ray path).
+Same closed forms as the per-ray implementations in ops/materials.py
+(which remain the correctness oracle and carry the reference file:line
+citations; tests cross-validate), written over (N,) component arrays.
+Texture envelope: constant / checkerboard / image spectrum slots and
+constant / checkerboard / image float slots, with trilinear mip
+filtering when the caller passes a footprint.
 
 Conventions identical to ops/materials.py: eval returns BSDF * |cos|,
 pdf in solid angle, sample returns (dir, eta, roughness, valid-mask f32).
