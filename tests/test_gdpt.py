@@ -48,11 +48,15 @@ def test_poisson_large_alpha_returns_data():
 
 @pytest.fixture(scope="module")
 def gdpt_run():
+    # 48x48 is the smallest resolution where the recon's boundary
+    # influence keeps the mean within the 10% gate; spp halved from the
+    # original 24/256 to keep the per-ray oracle renders (the fixture's
+    # cost) reasonable on the 1-CPU test host.
     sc = presets.cornell_box(
-        width=48, height=48, spp=24, integrator="gradpath", max_depth=5
+        width=48, height=48, spp=16, integrator="gradpath", max_depth=5
     )
     recon, aux = gdpt.render_gradpath(sc, seed=4, return_aux=True)
-    sc_ref = presets.cornell_box(width=48, height=48, spp=256, max_depth=5)
+    sc_ref = presets.cornell_box(width=48, height=48, spp=128, max_depth=5)
     ref = R.render(sc_ref, seed=11)
     return recon, aux, ref
 

@@ -369,15 +369,14 @@ def test_sharded_bvh_scene_matches_single_device(monkeypatch):
     # both sides take the identical code path.
     monkeypatch.setenv("GDPT_WAVEFRONT", "0")
     mesh = sharding.make_mesh(jax.devices()[:8])
-    sc = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
-                             force_bvh=True)
-    assert not sc.static.use_brute_force
-    a = sharding.render_soa_sharded(sc, mesh, spp=2, seed=9)
-    b = path_soa.render_soa(sc, spp=2, seed=9)
-    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
-
+    # The gradpath (5-path) driver is the heaviest sharded program and
+    # the flagship config; the plain-path sharded equivalence is already
+    # covered on a brute-force scene (test_sharded_render_matches_...),
+    # and on the CPU test host both BVH scenes walk the same
+    # packed-binary backend — so one BVH integrator suffices here.
     scg = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
                               integrator="gradpath", force_bvh=True)
+    assert not scg.static.use_brute_force
     from gdpt_tpu.integrators import gdpt_soa
 
     ag = sharding.render_gradpath_soa_sharded(scg, mesh, spp=2, seed=9)
