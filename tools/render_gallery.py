@@ -15,18 +15,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
-# (path, resolution, spp, max_depth or None to honor the scene file)
+# (path, resolution, spp, max_depth or None to honor the scene file).
+# resolution None = the scene file's own (native) resolution.
 SCENES = {
     "cbox": (_SCENE_ROOT + "/cbox/cbox_old.xml", 512, 256, None),
-    "veach_mi": (_SCENE_ROOT + "/veach_mi/mi.xml", 512, 256, None),
-    # BVH scenes ride the packet kernel now; full resolution.
+    "veach_mi": (_SCENE_ROOT + "/veach_mi/mi.xml", None, 256, None),
+    # BVH scenes ride the packet kernel now; native resolution.
     "disney_array": (
-        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", 512, 64, 5
+        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", None, 64, 5
     ),
-    "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", 512, 64, 5),
+    "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", None, 64, 5),
     # sponza's scene file asks for gradpath; render the path version here
     # (the GDPT flagship is produced by tools/render_sponza_gdpt.py).
-    "sponza_path": (_SCENE_ROOT + "/sponza/sponza.xml", 512, 64, 5, "path"),
+    "sponza_path": (_SCENE_ROOT + "/sponza/sponza.xml", None, 64, 5, "path"),
 }
 
 
