@@ -213,3 +213,47 @@ def test_few_spheres_outside_table(monkeypatch):
     occ = trs.occluded_soa(static, g, _v3(org), _v3(d), 1e-4,
                            jnp.full(nr, 1e9))
     np.testing.assert_array_equal(np.asarray(occ) > 0, good)
+
+
+def test_packet_table_structural_invariants():
+    """Host-only checks of the collapsed table: every primitive appears
+    exactly once among root-reachable leaf rows, groups respect
+    LEAF_TRIS, and child bboxes contain their leaf groups' triangles."""
+    v0, v1, v2 = _soup(900, seed=5)
+    tab, e1, e2 = _table(v0, v1, v2)
+    assert tab is not None
+    t = np.asarray(tab.table)
+    EMPTY = np.int32(2**31 - 1)
+    seen = set()
+    stack = [0]
+    leaf_of_parent = []  # (parent_row, slot, leaf_row)
+    while stack:
+        r = stack.pop()
+        if r in seen:
+            continue
+        seen.add(r)
+        mask = int(t[r, 120])
+        for k in range(16):
+            if not ((mask >> k) & 1):
+                continue
+            ref = int(t[r, 96 + k])
+            if ref == EMPTY:
+                continue
+            if ref >= 0:
+                stack.append(ref)
+            else:
+                leaf_of_parent.append((r, k, int((~ref) & ((1 << 22) - 1))))
+    prims = []
+    for pr, k, lr in leaf_of_parent:
+        ids = t[lr, 108:120]
+        ids = ids[ids >= 0]
+        assert ids.shape[0] <= pt.LEAF_TRIS
+        prims.extend(int(i) for i in ids)
+        # Child bbox must contain the group's triangles.
+        blo = t[pr, k * 6: k * 6 + 3].view(np.float32)
+        bhi = t[pr, k * 6 + 3: k * 6 + 6].view(np.float32)
+        for pid in ids:
+            verts = np.stack([v0[pid], v1[pid], v2[pid]])
+            assert (verts.min(0) >= blo - 1e-4).all()
+            assert (verts.max(0) <= bhi + 1e-4).all()
+    assert sorted(prims) == list(range(900))
