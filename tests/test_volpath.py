@@ -52,12 +52,12 @@ def test_v4_nonnegative_finite(multi_bounce_renders):
 
 def test_v6_null_scattering_matches_v5_on_constant_grid():
     sc5 = presets.volpath_scene(
-        version=5, width=20, height=20, spp=48, max_depth=6,
+        version=5, width=20, height=20, spp=32, max_depth=6,
         with_diffuse_sphere=True,
     )
     img5 = R.render(sc5, seed=10)
     sc6 = presets.volpath_scene(
-        version=6, width=20, height=20, spp=48, max_depth=6,
+        version=6, width=20, height=20, spp=32, max_depth=6,
         hetero=True, with_diffuse_sphere=True,
     )
     img6 = R.render(sc6, seed=11)
@@ -67,8 +67,8 @@ def test_v6_null_scattering_matches_v5_on_constant_grid():
 
 
 def test_v6_homogeneous_consistent_with_v5():
-    sc5 = presets.volpath_scene(version=5, width=20, height=20, spp=48, max_depth=6)
-    sc6 = presets.volpath_scene(version=6, width=20, height=20, spp=48, max_depth=6)
+    sc5 = presets.volpath_scene(version=5, width=20, height=20, spp=32, max_depth=6)
+    sc6 = presets.volpath_scene(version=6, width=20, height=20, spp=32, max_depth=6)
     img5 = R.render(sc5, seed=12)
     img6 = R.render(sc6, seed=13)
     assert abs(img5.mean() - img6.mean()) / img5.mean() < 0.08
