@@ -190,3 +190,19 @@ def test_gdpt_soa_gradients_correlate(gdpt_soa_run):
     # And with the per-ray estimate of the same quantity.
     corr2 = np.corrcoef(aux_s["gx"].ravel(), aux_a["gx"].ravel())[0, 1]
     assert corr2 > 0.3, corr2
+
+
+def test_gdpt_wavefront_matches_banded(monkeypatch):
+    """The GDPT wavefront pool (sample regeneration, per-lane depths)
+    is the same estimator as the banded sample loop: identical RNG
+    streams per (pixel, sample), so images agree to accumulation-order
+    float noise."""
+    from gdpt_tpu.integrators import gdpt_soa
+
+    sc = presets.cornell_box(width=16, height=16, spp=3, max_depth=4,
+                             integrator="gradpath", force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    b = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
