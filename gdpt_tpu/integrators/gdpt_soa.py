@@ -519,26 +519,50 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
          for v3 in vals for c in (v3.x, v3.y, v3.z)], axis=1)
     acc = st["acc"].at[s["pixel"].astype(INT)].add(upd)
 
-    rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
-    item = st["next_item"] + jnp.where(dead, rank, 0)
-    issue = dead & (item < st["total"])
-    new_pixel = jnp.where(issue, item % jnp.uint32(n_pix), s["pixel"])
-    new_sample = jnp.where(issue, item // jnp.uint32(n_pix), s["sample"])
-    fresh = _init_gdpt_lanes(static, camera, sc, new_pixel, new_sample,
-                             st["seed"], issue)
-    rays = s["rays"] + 5.0 * jnp.sum(jnp.where(issue, 1.0, 0.0))
-    keep = {k: s[k] for k in fresh}
-    lane = jax.tree_util.tree_map(
-        lambda f, o: soa.where(issue, f, o) if isinstance(f, V3)
-        else jnp.where(issue, f, o), fresh, keep,
-        is_leaf=lambda x: isinstance(x, V3))
-    lane["rays"] = rays
+    pah = pending & ~harvest
+    P = s["prob"].shape[0]
+    n_dead = jnp.sum(dead.astype(jnp.uint32))
+    # Refill only when a quarter of the pool is idle (or the queue has
+    # drained): the refill's batched 5n-lane primary shade is a
+    # full-width cost whether 1 lane or 100k lanes regenerate, so it
+    # amortizes over >= P/4 fresh paths per trigger.
+    do_refill = (n_dead * 4 >= P) & (st["next_item"] < st["total"])
+
+    def refill(op):
+        s, pah = op
+        rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
+        item = st["next_item"] + jnp.where(dead, rank, 0)
+        issue = dead & (item < st["total"])
+        new_pixel = jnp.where(issue, item % jnp.uint32(n_pix), s["pixel"])
+        new_sample = jnp.where(issue, item // jnp.uint32(n_pix),
+                               s["sample"])
+        fresh = _init_gdpt_lanes(static, camera, sc, new_pixel, new_sample,
+                                 st["seed"], issue)
+        rays = s["rays"] + 5.0 * jnp.sum(jnp.where(issue, 1.0, 0.0))
+        keep = {k: s[k] for k in fresh}
+        lane = jax.tree_util.tree_map(
+            lambda f, o: soa.where(issue, f, o) if isinstance(f, V3)
+            else jnp.where(issue, f, o), fresh, keep,
+            is_leaf=lambda x: isinstance(x, V3))
+        lane["rays"] = rays
+        return (lane, (issue | pah).astype(REAL),
+                st["next_item"] + jnp.sum(issue.astype(jnp.uint32)))
+
+    def skip(op):
+        s, pah = op
+        lane = {k: s[k] for k in
+                set(s) - {"rays"}}
+        lane["rays"] = s["rays"]
+        return lane, pah.astype(REAL), st["next_item"]
+
+    lane, pending2, next_item = jax.lax.cond(do_refill, refill, skip,
+                                             (s, pah))
     lane = _gdpt_bounce(static, sc, used, st["seed"], lane)
     return dict(
         lane=lane,
         acc=acc,
-        pending=(issue | (pending & ~harvest)).astype(REAL),
-        next_item=st["next_item"] + jnp.sum(issue.astype(jnp.uint32)),
+        pending=pending2,
+        next_item=next_item,
         total=st["total"],
         seed=st["seed"],
     )
