@@ -417,3 +417,16 @@ def test_soa_checker_float_texture_matches_aos():
     b = R.render_samples(sc, path_aos.trace_path, spp=64, seed=4)
     assert np.isfinite(a).all()
     assert abs(a.mean() - b.mean()) / b.mean() < 0.05, (a.mean(), b.mean())
+
+
+def test_path_wavefront_matches_banded(monkeypatch):
+    """render_soa's wavefront pool (the default on BVH scenes) is the
+    same estimator as the banded loop: identical (pixel, sample)-keyed
+    RNG streams, so images agree to accumulation-order float noise."""
+    sc = presets.cornell_box(width=16, height=16, spp=3, max_depth=4,
+                             force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = path_soa.render_soa(sc, spp=3, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    b = path_soa.render_soa(sc, spp=3, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
