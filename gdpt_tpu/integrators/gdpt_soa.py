@@ -565,6 +565,10 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
         next_item=next_item,
         total=st["total"],
         seed=st["seed"],
+        # Occupancy telemetry: mean live fraction per iteration.
+        occ_sum=st["occ_sum"] + jnp.mean(jnp.where(
+            lane["active"] > 0, 1.0, 0.0)),
+        iters=st["iters"] + 1.0,
     )
 
 
@@ -603,6 +607,8 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
         next_item=jnp.asarray(0, jnp.uint32),
         total=jnp.asarray(total, jnp.uint32),
         seed=jnp.asarray(seed, jnp.uint32),
+        occ_sum=jnp.asarray(0.0, REAL),
+        iters=jnp.asarray(0.0, REAL),
     )
     # The eager init aliases buffers across fields (zero3 rides in
     # primal_bf and every diff); donation rejects duplicated buffers,
@@ -616,6 +622,9 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
             break
     acc18 = np.asarray(st["acc"], np.float64)  # (n_pix, 18)
     acc = acc18.T.reshape(6, 3, n_pix)
+    _gdpt_wavefront_accum.last_occupancy = float(
+        st["occ_sum"]) / max(float(st["iters"]), 1.0)
+    _gdpt_wavefront_accum.last_iters = float(st["iters"])
     return acc, float(st["lane"]["rays"])
 
 

@@ -977,6 +977,9 @@ def _wavefront_body(static, camera, sc, st):
         total=st["total"],
         seed=seed,
         rays=rays,
+        # Occupancy telemetry: mean live fraction per iteration.
+        occ_sum=st["occ_sum"] + jnp.mean(jnp.where(alive, 1.0, 0.0)),
+        iters=st["iters"] + 1.0,
         acc_x=acc_x, acc_y=acc_y, acc_z=acc_z,
     )
 
@@ -1033,6 +1036,8 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
         total=jnp.asarray(total, jnp.uint32),
         seed=jnp.asarray(seed, jnp.uint32),
         rays=jnp.asarray(0.0, REAL),
+        occ_sum=jnp.asarray(0.0, REAL),
+        iters=jnp.asarray(0.0, REAL),
         acc_x=jnp.zeros(n_pix, REAL),
         acc_y=jnp.zeros(n_pix, REAL),
         acc_z=jnp.zeros(n_pix, REAL),
@@ -1047,6 +1052,8 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
                     np.asarray(st["acc_z"], np.float64)])
     img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
     img = np.where(np.isfinite(img), img, 0.0)
+    render_soa_wavefront.last_occupancy = float(
+        st["occ_sum"]) / max(float(st["iters"]), 1.0)
     if return_stats:
         return img, float(st["rays"])
     return img
