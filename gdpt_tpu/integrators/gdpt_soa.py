@@ -550,10 +550,7 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
 
     def skip(op):
         s, pah = op
-        lane = {k: s[k] for k in
-                set(s) - {"rays"}}
-        lane["rays"] = s["rays"]
-        return lane, pah.astype(REAL), st["next_item"]
+        return dict(s), pah.astype(REAL), st["next_item"]
 
     lane, pending2, next_item = jax.lax.cond(do_refill, refill, skip,
                                              (s, pah))
