@@ -142,21 +142,48 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         left = b + 1
         return left, int(miss[left])
 
+    def eff_count(c):
+        """A fat node's prim count minus outside-tested spheres."""
+        lo, cnt = fat_ranges[fat_of[c]]
+        if leaf_skip_from is None:
+            return cnt
+        p = order[lo: lo + cnt]
+        return int((p < leaf_skip_from).sum())
+
+    def binpack(leaf_kids):
+        """First-fit-descending pack of leaf nodes into <= LEAF_TRIS
+        prim bins; returns a list of member-node lists."""
+        bins = []
+        for c in sorted(leaf_kids, key=lambda c: -eff_count(c)):
+            k = eff_count(c)
+            for b_ in bins:
+                if b_[1] + k <= LEAF_TRIS:
+                    b_[0].append(c)
+                    b_[1] += k
+                    break
+            else:
+                bins.append([[c], k])
+        return [m for m, _ in bins]
+
     def expand16(b):
+        """Split largest-first until 16 POST-MERGE child slots: leaf
+        siblings that bin-pack into shared rows occupy one slot, so the
+        freed slots take more subtree splits — a flatter tree with
+        fewer supernode visits on the walk."""
         frontier = [b]
-        while len(frontier) < 16:
-            pick, pick_cnt = None, -1
-            for idx, x in enumerate(frontier):
-                if x not in fat_of and cnt_sub[x] > pick_cnt:
-                    pick, pick_cnt = idx, cnt_sub[x]
-            if pick is None:
-                break
-            x = frontier.pop(pick)
-            left, right = children2(x)
-            frontier[pick:pick] = [left, right]
-        return frontier
+        while True:
+            sups = [x for x in frontier if x not in fat_of]
+            leaves = [x for x in frontier if x in fat_of]
+            bins = binpack(leaves)
+            if len(sups) + len(bins) >= 16 or not sups:
+                return sups, bins
+            big = max(sups, key=lambda x: cnt_sub[x])
+            i = frontier.index(big)
+            left, right = children2(big)
+            frontier[i:i + 1] = [left, right]
 
     if 0 in fat_of:
+        kid_plan = [([], binpack([0]))]
         kids_of = [[0]]
         super_of = {}
         max_depth = 1
@@ -164,7 +191,8 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     else:
         super_of = {}
         order_q = []
-        kids_of = []
+        kid_plan = []  # per super: (super children, leaf bins)
+        kids_of = []   # flat node lists (two-phase frontier splitter)
         queue = [(0, 1)]
         max_depth = 1
         while queue:
@@ -174,11 +202,11 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             super_of[b] = len(order_q)
             order_q.append(b)
             max_depth = max(max_depth, depth)
-            ch = expand16(b)
-            kids_of.append(ch)
-            for c in ch:
-                if c not in fat_of:
-                    queue.append((c, depth + 1))
+            sups, bins = expand16(b)
+            kid_plan.append((sups, bins))
+            kids_of.append(sups + [c for m in bins for c in m])
+            for c in sups:
+                queue.append((c, depth + 1))
 
     n_super = len(order_q)
 
@@ -190,32 +218,22 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             p = p[p < leaf_skip_from]
         return p
 
-    # Sibling-leaf bin packing: SAH leaves average ~8 of the row's 12
-    # slots, so sibling leaf children of the same supernode are packed
-    # together (first-fit by descending count) into shared rows — fewer
-    # leaf rows means fewer leaf visits, the bulk of incoherent packet
-    # cost. Each group gets a tight bbox recomputed from its triangles
-    # (also sheds the slack a skipped sphere left in the node bbox).
+    # Sibling-leaf bin packing (bins precomputed in expand16): SAH
+    # leaves average ~8 of the row's 12 slots, so sibling leaf children
+    # of a supernode share rows — fewer leaf rows means fewer leaf
+    # visits, the bulk of incoherent packet cost — and the freed child
+    # slots took extra subtree splits (flatter tree, fewer super
+    # visits). Each group gets a tight bbox recomputed from its
+    # triangles (also sheds the slack a skipped sphere left in the
+    # node bbox).
     leaf_groups = []   # np.int32 prim-id arrays, each <= LEAF_TRIS
     group_bbox = []    # (bmin3, bmax3) per group
     node_group = {}    # fat node -> group index
     kid_entries = []   # per super: [("s", node) | ("l", group_index)]
     for si in range(n_super):
-        kids = [c for c in kids_of[si] if c is not None]
-        entries = [("s", c) for c in kids if c not in fat_of]
-        leaf_kids = sorted((c for c in kids if c in fat_of),
-                           key=lambda c: -eff_prims(c).shape[0])
-        bins = []  # [member nodes, prim total]
-        for c in leaf_kids:
-            k = eff_prims(c).shape[0]
-            for b_ in bins:
-                if b_[1] + k <= LEAF_TRIS:
-                    b_[0].append(c)
-                    b_[1] += k
-                    break
-            else:
-                bins.append([[c], k])
-        for members, _tot in bins:
+        sups, bins = kid_plan[si]
+        entries = [("s", c) for c in sups]
+        for members in bins:
             prims = (np.concatenate([eff_prims(c) for c in members])
                      if members else np.zeros(0, np.int32))
             if prims.shape[0] == 0:
