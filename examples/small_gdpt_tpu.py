@@ -10,7 +10,10 @@ reconstructed on device.
 Usage: python examples/small_gdpt_tpu.py [spp] [--out image.pfm]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
