@@ -31,6 +31,31 @@ def _render(scene, spp, seed=0):
     return path_soa.render_soa(scene, spp=spp, seed=seed, return_stats=True)
 
 
+def _backend_alive(timeout_s=75):
+    """Probe JAX backend init in a subprocess with a hard timeout.
+
+    The axon TPU tunnel can die in a mode where jax.devices() hangs
+    forever in-process (round-3 failure: driver rc=124 with no output).
+    A subprocess probe lets us fail fast with an explicit JSON error
+    line instead. Killing a hung *init* probe is safe (wedge risk is
+    only for killing in-flight compiles/executes).
+    """
+    import subprocess
+    import sys
+
+    code = "import jax; print(jax.devices()[0].platform)"
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hung >{timeout_s}s (tunnel down?)"
+    if proc.returncode != 0:
+        return False, (proc.stderr.strip()[-300:] or f"rc={proc.returncode}")
+    return True, proc.stdout.strip()
+
+
 def bench_config(name, make_scene, spp):
     import jax
 
@@ -58,6 +83,16 @@ def bench_config(name, make_scene, spp):
 
 
 def main():
+    alive, info = _backend_alive()
+    if not alive:
+        print(json.dumps({
+            "metric": "cbox_512_path_Mrays_per_sec_per_chip",
+            "value": 0.0,
+            "unit": "Mrays/s",
+            "vs_baseline": 0.0,
+            "error": f"JAX backend unavailable: {info}",
+        }), flush=True)
+        return
     from gdpt_tpu.scene import parser, presets
 
     def xml(path):
