@@ -240,9 +240,23 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                 continue  # only skipped spheres lived here: drop child
             gi = len(leaf_groups)
             leaf_groups.append(prims)
-            vs = np.concatenate([geo9[prims, 0:3],
-                                 geo9[prims, 0:3] + geo9[prims, 3:6],
-                                 geo9[prims, 0:3] + geo9[prims, 6:9]])
+            # Tight bbox from primitive geometry. Triangle rows are
+            # (v0, e1, e2); sphere rows (prim id >= n_tris, present in
+            # leaves only when leaf_skip_from is None) are
+            # (center, (r,0,0,..)) and must contribute center +- r on
+            # ALL axes, not the degenerate tri-style corners.
+            tri_p = prims[prims < n_tris]
+            sph_p = prims[prims >= n_tris]
+            parts = []
+            if tri_p.size:
+                parts += [geo9[tri_p, 0:3],
+                          geo9[tri_p, 0:3] + geo9[tri_p, 3:6],
+                          geo9[tri_p, 0:3] + geo9[tri_p, 6:9]]
+            if sph_p.size:
+                cen = geo9[sph_p, 0:3]
+                rad = geo9[sph_p, 3:4]
+                parts += [cen - rad, cen + rad]
+            vs = np.concatenate(parts)
             group_bbox.append((vs.min(axis=0), vs.max(axis=0)))
             for c in members:
                 node_group[c] = gi

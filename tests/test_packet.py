@@ -257,3 +257,95 @@ def test_packet_table_structural_invariants():
             assert (verts.min(0) >= blo - 1e-4).all()
             assert (verts.max(0) <= bhi + 1e-4).all()
     assert sorted(prims) == list(range(900))
+
+
+def test_many_spheres_in_table(monkeypatch):
+    """Scenes with > SPH_BRUTE_MAX spheres carry them INSIDE the walk
+    tables (leaf_skip_from=None). Bin-packed leaf-group bboxes must
+    bound sphere rows as center +- r on all axes — the tri-style
+    (v0, v0+e1, v0+e2) corners collapse a sphere row to a point plus r
+    along +x, silently culling hits (round-3 advisor finding)."""
+    monkeypatch.setenv("GDPT_PACKET", "1")
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.scene import model as M, build
+    from gdpt_tpu.core import transform as xf
+
+    rng = np.random.RandomState(7)
+    ntris = 220
+    v0, v1, v2 = _soup(ntris, seed=7)
+    mesh = M.TriangleMesh(
+        positions=np.concatenate([v0, v1, v2]).astype(np.float32),
+        indices=np.stack([np.arange(ntris), np.arange(ntris) + ntris,
+                          np.arange(ntris) + 2 * ntris], -1).astype(np.int32),
+        material_id=0)
+    # 12 spheres (> SPH_BRUTE_MAX) scattered around AND off the +x axis
+    # of their centers, so a degenerate group bbox would cull them.
+    centers = rng.randn(12, 3).astype(np.float32) * 4
+    centers[:, 2] = np.linspace(4.0, 26.0, 12)
+    spheres = [M.Sphere(center=centers[i], radius=0.8, material_id=0)
+               for i in range(12)]
+    cam = M.Camera(xf.look_at([0, 0, 40], [0, 0, 0], [0, 1, 0]),
+                   45.0, 16, 16)
+    lights = [M.DiffuseAreaLight(shape_id=1, intensity=np.ones(3))]
+    opts = M.RenderOptions(integrator="path", samples_per_pixel=1,
+                           max_depth=2)
+    sc = build.build_scene(cam, [M.Lambertian(0.5)], [mesh] + spheres,
+                           lights, options=opts)
+    static = sc.static
+    assert not static.use_brute_force and static.n_spheres == 12
+    from gdpt_tpu.integrators import path_soa as ps
+    g = ps.scene_soa_from_aos(sc).geom
+    assert g.packet is not None
+    nr = 1024
+    org = rng.randn(nr, 3).astype(np.float32) * 3
+    org[:, 2] = 45.0
+    d = -org + centers[rng.randint(0, 12, nr)] \
+        + rng.randn(nr, 3).astype(np.float32) * 1.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hit, _ = trs.intersect_soa_gn(static, g, _v3(org), _v3(d), 1e-4, 1e9)
+    bhit = trs.intersect_brute_soa(static, g, _v3(org), _v3(d), 1e-4,
+                                   jnp.full(nr, 1e9))
+    assert (np.asarray(hit.prim_id) == np.asarray(bhit.prim_id)).all()
+    good = np.asarray(bhit.prim_id) >= 0
+    sph_hits = np.asarray(bhit.prim_id) >= static.n_tris
+    assert sph_hits.mean() > 0.2, "test geometry must often hit spheres"
+    np.testing.assert_allclose(np.asarray(hit.t)[good],
+                               np.asarray(bhit.t)[good],
+                               rtol=1e-3, atol=1e-4)
+    occ = trs.occluded_soa(static, g, _v3(org), _v3(d), 1e-4,
+                           jnp.full(nr, 1e9))
+    np.testing.assert_array_equal(np.asarray(occ) > 0, good)
+    # Structural check (deterministic, unlike the ray sample): every
+    # leaf group's stored parent bbox must contain center +- r of each
+    # sphere prim packed in that group.
+    t = np.asarray(g.packet.table)
+    EMPTY = np.int32(2**31 - 1)
+    seen, stack, leaf_of_parent = set(), [0], []
+    while stack:
+        r = stack.pop()
+        if r in seen:
+            continue
+        seen.add(r)
+        mask = int(t[r, 120])
+        for k in range(16):
+            if not ((mask >> k) & 1):
+                continue
+            ref = int(t[r, 96 + k])
+            if ref == EMPTY:
+                continue
+            if ref >= 0:
+                stack.append(ref)
+            else:
+                leaf_of_parent.append((r, k, int((~ref) & ((1 << 22) - 1))))
+    sph_seen = 0
+    for pr, k, lr in leaf_of_parent:
+        ids = t[lr, 108:120]
+        ids = ids[ids >= static.n_tris]
+        blo = t[pr, k * 6: k * 6 + 3].view(np.float32)
+        bhi = t[pr, k * 6 + 3: k * 6 + 6].view(np.float32)
+        for pid in ids:
+            c, r_ = centers[pid - static.n_tris], 0.8
+            assert (c - r_ >= blo - 1e-4).all(), "sphere bbox too tight"
+            assert (c + r_ <= bhi + 1e-4).all(), "sphere bbox too tight"
+            sph_seen += 1
+    assert sph_seen == 12
