@@ -588,6 +588,12 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
     import os as _os
 
     total = n_pix * spp
+    if total >= 2 ** 32:
+        # uint32 work-queue counter would wrap (render_gradpath_soa
+        # routes such renders to the banded loop instead).
+        raise ValueError(
+            f"GDPT wavefront work queue: n_pix*spp = {total} >= 2^32; "
+            "use the banded loop for renders this large")
     lane_q = 1 << 13
     P = int(_os.environ.get("GDPT_GDPT_POOL", 1 << 17))
     P = min(P, -(-total // lane_q) * lane_q)
@@ -611,14 +617,24 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
     # primal_bf and every diff); donation rejects duplicated buffers,
     # so give every leaf its own storage first.
     st = jax.tree_util.tree_map(jnp.copy, st)
+    # Drain the f32 device accumulator into host f64 every ~64 issued
+    # spp-equivalents (see path_soa.render_soa_wavefront).
+    host_acc = np.zeros((n_pix, 18), np.float64)
+    drain_step = n_pix * 64
+    last_drain = 0
     while True:
         st = _gdpt_wavefront_chunk(static, camera, st, sc, k_iters)
-        if (int(st["next_item"]) >= total
+        ni = int(st["next_item"])
+        if (ni >= total
                 and float(jnp.max(st["lane"]["active"])) <= 0
                 and float(jnp.max(st["pending"])) <= 0):
             break
-    acc18 = np.asarray(st["acc"], np.float64)  # (n_pix, 18)
-    acc = acc18.T.reshape(6, 3, n_pix)
+        if ni - last_drain >= drain_step:
+            host_acc += np.asarray(st["acc"], np.float64)
+            st["acc"] = jnp.zeros((n_pix, 18), REAL)
+            last_drain = ni
+    host_acc += np.asarray(st["acc"], np.float64)
+    acc = host_acc.T.reshape(6, 3, n_pix)
     _gdpt_wavefront_accum.last_occupancy = float(
         st["occ_sum"]) / max(float(st["iters"]), 1.0)
     _gdpt_wavefront_accum.last_iters = float(st["iters"])
@@ -662,6 +678,7 @@ def render_gradpath_soa(scene: Scene, spp=None, seed=0, return_aux=False,
 
     if (mesh is None and not static.use_brute_force and on_chunk is None
             and init_acc is None and not start_sample
+            and n * spp < 2 ** 32
             and _os.environ.get("GDPT_WAVEFRONT", "1") != "0"):
         # BVH scenes: the wavefront pool keeps the 5-path lockstep at
         # ~full occupancy via sample regeneration instead of paying

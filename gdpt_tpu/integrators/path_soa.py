@@ -185,6 +185,19 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
         dndu = dnds * dsdu[:, None] + dndt * dtdu[:, None]
         dndv = dnds * dsdv[:, None] + dndt * dtdv[:, None]
         has_n_h = np.asarray(dev.tri_has_normals) > 0
+        # DELIBERATE APPROXIMATION: mean curvature is precomputed per
+        # triangle from the centroid shading normal (sn_h) and its
+        # tangent frame, while the per-ray oracle (ops/intersect.py)
+        # and the reference (triangle_mesh.inl:133-162) evaluate the
+        # projection frame at the hit's interpolated normal. On large
+        # triangles with strongly varying vertex normals the SoA
+        # ray-differential spread — and hence the selected mip level —
+        # can diverge from the per-ray path. mc only steers texture
+        # footprints, never radiance math, so the SoA/per-ray
+        # cross-validation tolerances (tests/test_soa.py radiance
+        # gates) absorb it; avoiding two extra per-hit V3 gathers in
+        # shade_hit is a measured throughput win (see
+        # accel/packet_trace.py notes on per-lane gather cost).
         mc = np.where(
             has_n_h,
             0.5 * ((dndu * tan).sum(1) + (dndv * bit).sum(1)),
@@ -1007,6 +1020,13 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
     w, h = static.width, static.height
     n_pix = w * h
     total = n_pix * spp
+    if total >= 2 ** 32:
+        # The work queue indexes (pixel, sample) items with a uint32
+        # counter; beyond 2^32 it would silently wrap and drop samples.
+        # render_soa routes such renders to the banded loop instead.
+        raise ValueError(
+            f"wavefront work queue: n_pix*spp = {total} >= 2^32; "
+            "use render_soa (banded loop) for renders this large")
     sc = scene_soa_from_aos(scene)
     from gdpt_tpu.accel import packet_trace as pt
 
@@ -1042,14 +1062,34 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
         acc_y=jnp.zeros(n_pix, REAL),
         acc_z=jnp.zeros(n_pix, REAL),
     )
+    # Device accumulation is f32 (scatter-add); to keep high-spp sums
+    # from losing mantissa bits against a large accumulator, drain into
+    # a host f64 buffer every ~64 issued spp-equivalents. Safe mid-
+    # flight: lanes scatter later contributions onto the zeroed f32
+    # buffer and the final drain picks them up.
+    host_acc = np.zeros((3, n_pix), np.float64)
+    drain_step = n_pix * 64
+    last_drain = 0
+
+    def drain(st):
+        host_acc[0] += np.asarray(st["acc_x"], np.float64)
+        host_acc[1] += np.asarray(st["acc_y"], np.float64)
+        host_acc[2] += np.asarray(st["acc_z"], np.float64)
+        st["acc_x"] = jnp.zeros(n_pix, REAL)
+        st["acc_y"] = jnp.zeros(n_pix, REAL)
+        st["acc_z"] = jnp.zeros(n_pix, REAL)
+
     while True:
         st = _wavefront_chunk(static, scene.device.camera, st, sc, k_iters)
-        done = int(st["next_item"]) >= total
+        ni = int(st["next_item"])
+        done = ni >= total
         if done and float(jnp.max(st["alive"])) <= 0:
             break
-    acc = np.stack([np.asarray(st["acc_x"], np.float64),
-                    np.asarray(st["acc_y"], np.float64),
-                    np.asarray(st["acc_z"], np.float64)])
+        if ni - last_drain >= drain_step:
+            drain(st)
+            last_drain = ni
+    drain(st)
+    acc = host_acc
     img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
     img = np.where(np.isfinite(img), img, 0.0)
     render_soa_wavefront.last_occupancy = float(
@@ -1100,6 +1140,7 @@ def render_soa(scene: Scene, spp=None, seed=0, return_stats=False,
 
     if (mesh is None and not static.use_brute_force and on_chunk is None
             and init_acc is None and not start_sample
+            and n * spp < 2 ** 32
             and _os.environ.get("GDPT_WAVEFRONT", "1") != "0"):
         # BVH scenes: the wavefront pool keeps every dispatch at ~full
         # occupancy (sample regeneration); the banded loop below pays

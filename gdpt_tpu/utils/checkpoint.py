@@ -27,22 +27,21 @@ def _fingerprint(scene, spp, seed):
     alone are not enough: two renders of the same scene file with an
     edited light or material value share every count/flag, so the digest
     also folds in the scene *content* — every device-array leaf's
-    shape/dtype plus its bytes (strided sampling for large buffers keeps
-    the hash cheap on multi-MB meshes while still catching edits).
+    shape/dtype plus a CRC32 of its full bytes. CRC runs at C speed
+    (~1 GB/s), cheap once per render even on multi-MB meshes, and unlike
+    the old strided byte sampling it perturbs on ANY element edit
+    (a few changed floats in a large buffer used to hash identically
+    with high probability — round-3 advisor finding).
     """
     import jax
+    import zlib
 
-    h = hashlib.sha1(f"{scene.static!r}|spp={spp}|seed={seed}|v3".encode())
+    h = hashlib.sha1(f"{scene.static!r}|spp={spp}|seed={seed}|v4".encode())
     leaves = jax.tree_util.tree_leaves(scene.device)
     for leaf in leaves:
-        a = np.asarray(leaf)
-        h.update(f"|{a.shape}{a.dtype}".encode())
-        b = a.tobytes()
-        if len(b) > 65536:
-            h.update(b[::97])
-            h.update(b[-4096:])
-        else:
-            h.update(b)
+        a = np.ascontiguousarray(np.asarray(leaf))
+        crc = zlib.crc32(a.view(np.uint8).reshape(-1))
+        h.update(f"|{a.shape}{a.dtype}{crc}".encode())
     return h.hexdigest()
 
 

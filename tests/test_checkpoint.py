@@ -107,3 +107,26 @@ def test_aux_integrator_rejected(tmp_path):
     sc = presets.cornell_box(width=8, height=8, integrator="depth")
     with pytest.raises(ValueError, match="single-pass"):
         checkpoint.render_with_checkpoints(sc, path=str(tmp_path / "c.npz"))
+
+
+def test_fingerprint_detects_single_element_edit():
+    """A few changed floats inside a large device buffer must perturb
+    the digest (the old strided byte sampling missed localized edits to
+    multi-MB buffers with high probability — round-3 advisor finding)."""
+    import jax
+
+    sc = presets.cornell_box(width=8, height=8, spp=2, max_depth=3)
+    fp0 = checkpoint._fingerprint(sc, 4, 0)
+    # Find the largest float leaf and flip one element in the middle.
+    leaves, treedef = jax.tree_util.tree_flatten(sc.device)
+    sizes = [np.asarray(l).nbytes for l in leaves]
+    big = int(np.argmax(sizes))
+    a = np.array(np.asarray(leaves[big]))
+    flat = a.reshape(-1)
+    flat[flat.shape[0] // 2] = flat[flat.shape[0] // 2] + 1.0
+    leaves2 = list(leaves)
+    leaves2[big] = jax.numpy.asarray(a)
+    sc2 = sc._replace(
+        device=jax.tree_util.tree_unflatten(treedef, leaves2))
+    fp1 = checkpoint._fingerprint(sc2, 4, 0)
+    assert fp0 != fp1
