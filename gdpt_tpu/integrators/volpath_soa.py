@@ -65,34 +65,37 @@ def _loop_cap(static):
     return HARD_CAP if md < 0 else min(md, HARD_CAP)
 
 
-def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
-                      ray_idx, seed, sample0):
-    """One volumetric path sample per lane; returns (radiance V3, rays)."""
+def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
+    """One volumetric bounce over a lane dict with PER-LANE bounce
+    indices (s["it"]) and per-lane (pixel, sample) RNG identity — shared
+    verbatim by the banded loop (lanes in lockstep) and the wavefront
+    pool (lanes at mixed depths). RNG streams depend only on
+    (pixel, sample, bounce, slot), so both drivers are estimator-
+    identical (reference hot loop: src/vol_path_tracing.h:1309-1614)."""
     used = static.used_material_kinds
     max_depth = static.options.max_depth
     max_null = static.options.max_null_collisions
     cap = _loop_cap(static)
-    n = xs.shape[0]
+    n = s["active"].shape[0]
     zero = jnp.zeros(n, REAL)
     zero3 = V3(zero, zero, zero)
     one = jnp.ones(n, REAL)
     one3 = V3(one, one, one)
     eps = static.shadow_epsilon
     eps_isect = static.intersection_epsilon
+    pixel = s["pixel"]
+    sample = s["sample"]
 
     def uni2(counter):
         # Loop-block counters (_BLK_*) can run past any fixed per-sample
         # stride in deep volumetric paths; the sample index rides its own
         # RNG input word instead, so the counter space never aliases
         # across samples.
-        return soa.uniform2(seed, ray_idx, jnp.asarray(counter, jnp.uint32),
-                            sample0)
+        return soa.uniform2(seed, pixel, jnp.asarray(counter, jnp.uint32),
+                            sample)
 
     def bounce_uni2(b, slot):
         return uni2(b * ps._CTR_STRIDE + slot)
-
-    u0, u1 = bounce_uni2(jnp.asarray(0, INT), ps._CTR_PIXEL)
-    org0, d0 = ps.primary_rays_soa(static, camera, xs, ys, u0, u1)
 
     def free_flight(b, org, d, medium, t_hit):
         """Delta tracking (reference: src/vol_path_tracing.h:1334-1403).
@@ -350,28 +353,8 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
         ok = visible & (pdf_nee > 0) & do_mask
         return soa.where(ok, contrib * w, zero3)
 
-    state = dict(
-        org=org0, d=d0,
-        medium=jnp.full(n, static.camera_medium_id, INT),
-        throughput=one3,
-        radiance=zero3,
-        bounces=jnp.zeros(n, INT),
-        iters=jnp.asarray(0, INT),
-        dir_pdf=zero,
-        nee_cache=zero3,
-        multi_trans_pdf=one3,
-        multi_trans_nee=one3,
-        never_scatter=one,
-        never_surface=one,
-        active=one,
-        rays=jnp.full((), 1.0 * n, REAL),
-    )
-
-    def cond(s):
-        return (jnp.max(s["active"]) > 0) & (s["iters"] < cap + 1)
-
     def body(s):
-        b = s["iters"] + 1
+        b = s["it"] + 1
         active = s["active"] > 0
         # Inactive lanes become dead rays (tfar < tnear): traversal
         # backends exit them immediately instead of tracing stale rays.
@@ -496,7 +479,12 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
         never_scatter = jnp.where(do_scatter, 0.0, s["never_scatter"])
         never_surface = jnp.where(do_surface & surf_ok, 0.0, s["never_surface"])
 
+        # Per-lane iteration cap: a lane may execute at most cap+1
+        # bounce bodies (the banded loop's former scalar-iters stop,
+        # now per-lane so pooled lanes at mixed depths each get the
+        # same budget).
         active_next = alive & ~depth_stop & (moved | passthrough)
+        active_next = active_next & (s["it"] + 1 < cap + 1)
         do_rr = active_next & (s["bounces"] >= static.options.rr_depth) & ~passthrough
         rr_prob = jnp.where(do_rr, jnp.minimum(soa.vmax(throughput), 0.95), 1.0)
         _, u_rr = bounce_uni2(b, _C_RR)
@@ -508,13 +496,15 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
 
         upd = active  # only lanes that entered this iteration advance
         return dict(
+            pixel=pixel,
+            sample=sample,
             org=soa.where(upd, new_org, s["org"]),
             d=soa.where(upd, new_d, s["d"]),
             medium=jnp.where(upd, new_medium, s["medium"]),
             throughput=soa.where(upd, throughput, s["throughput"]),
             radiance=radiance,
             bounces=s["bounces"] + jnp.where(upd & active_next, 1, 0),
-            iters=s["iters"] + 1,
+            it=s["it"] + jnp.where(upd, 1, 0),
             dir_pdf=jnp.where(upd, dir_pdf, s["dir_pdf"]),
             nee_cache=soa.where(upd, nee_cache, s["nee_cache"]),
             multi_trans_pdf=soa.where(upd, mtp, s["multi_trans_pdf"]),
@@ -525,8 +515,201 @@ def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
             rays=rays,
         )
 
+    return body(s)
+
+
+def _init_vol_lanes(static, camera, pixel, sample, seed):
+    """Fresh per-lane volumetric path state for (pixel, sample) items;
+    RNG identical to the banded driver's primary setup (bounce-0
+    _CTR_PIXEL counter)."""
+    n = pixel.shape[0]
+    zero = jnp.zeros(n, REAL)
+    zero3 = V3(zero, zero, zero)
+    one = jnp.ones(n, REAL)
+    one3 = V3(one, one, one)
+    xs = (pixel % jnp.uint32(static.width)).astype(REAL)
+    ys = (pixel // jnp.uint32(static.width)).astype(REAL)
+    u0, u1 = soa.uniform2(seed, pixel, jnp.uint32(ps._CTR_PIXEL), sample)
+    org0, d0 = ps.primary_rays_soa(static, camera, xs, ys, u0, u1)
+    return dict(
+        pixel=pixel,
+        sample=sample,
+        org=org0, d=d0,
+        medium=jnp.full(n, static.camera_medium_id, INT),
+        throughput=one3,
+        radiance=zero3,
+        bounces=jnp.zeros(n, INT),
+        it=jnp.zeros(n, INT),
+        dir_pdf=zero,
+        nee_cache=zero3,
+        multi_trans_pdf=one3,
+        multi_trans_nee=one3,
+        never_scatter=one,
+        never_surface=one,
+        active=one,
+    )
+
+
+def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
+                      ray_idx, seed, sample0):
+    """One volumetric path sample per lane; returns (radiance V3, rays).
+
+    Banded driver: all lanes start at bounce 0 in lockstep and the pool
+    runs until every lane dies (per-lane iteration caps bound the
+    loop)."""
+    n = xs.shape[0]
+    cap = _loop_cap(static)
+    sample = jnp.broadcast_to(jnp.asarray(sample0, jnp.uint32), (n,))
+    state = _init_vol_lanes(static, camera, ray_idx, sample, seed)
+    state["rays"] = jnp.full((), 1.0 * n, REAL)
+    state["giter"] = jnp.asarray(0, INT)
+
+    def cond(s):
+        return (jnp.max(s["active"]) > 0) & (s["giter"] < cap + 1)
+
+    def body(s):
+        s = dict(s)
+        g = s.pop("giter")
+        out = _vol_bounce(static, sc, media, seed, s)
+        out["giter"] = g + 1
+        return out
+
     out = jax.lax.while_loop(cond, body, state)
     return out["radiance"], out["rays"]
+
+
+def _vol_wavefront_body(static, camera, sc, media, st):
+    """One wavefront iteration: harvest finished lanes into the
+    per-pixel accumulator, refill them with the next (pixel, sample)
+    work items, then run the shared volumetric bounce.
+
+    The banded loop pays full-width free-flight/shadow-march/material
+    cost per drain iteration while live lanes decay under RR and depth
+    kills — exactly where dead lanes accumulate in heterogeneous scenes
+    (reference inner loop: src/vol_path_tracing.h:1343-1403). The pool
+    keeps ~every lane on useful work (same harvest/refill pattern as
+    gdpt_soa._gdpt_wavefront_accum)."""
+    s = st["lane"]
+    n_pix = static.width * static.height
+    dead = s["active"] <= 0
+    pending = st["pending"] > 0
+    harvest = dead & pending
+
+    r = s["radiance"]
+    upd = jnp.stack([jnp.where(harvest, c, 0.0)
+                     for c in (r.x, r.y, r.z)], axis=1)
+    acc = st["acc"].at[s["pixel"].astype(INT)].add(upd)
+
+    pah = pending & ~harvest
+    P = s["active"].shape[0]
+    n_dead = jnp.sum(dead.astype(jnp.uint32))
+    # Quarter-pool refill gate: the refill's primary-ray regeneration is
+    # a full-width cost whether 1 lane or 100k lanes issue, so it
+    # amortizes over >= P/4 fresh paths per trigger.
+    do_refill = (n_dead * 4 >= P) & (st["next_item"] < st["total"])
+
+    def refill(op):
+        s, pah = op
+        rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
+        item = st["next_item"] + jnp.where(dead, rank, 0)
+        issue = dead & (item < st["total"])
+        new_pixel = jnp.where(issue, item % jnp.uint32(n_pix), s["pixel"])
+        new_sample = jnp.where(issue, item // jnp.uint32(n_pix), s["sample"])
+        fresh = _init_vol_lanes(static, camera, new_pixel, new_sample,
+                                st["seed"])
+        # Banded ray-count convention: primaries counted at lane init.
+        rays = s["rays"] + jnp.sum(jnp.where(issue, 1.0, 0.0))
+        keep = {k: s[k] for k in fresh}
+        lane = jax.tree_util.tree_map(
+            lambda f, o: soa.where(issue, f, o) if isinstance(f, V3)
+            else jnp.where(issue, f, o), fresh, keep,
+            is_leaf=lambda x: isinstance(x, V3))
+        lane["rays"] = rays
+        return (lane, (issue | pah).astype(REAL),
+                st["next_item"] + jnp.sum(issue.astype(jnp.uint32)))
+
+    def skip(op):
+        s, pah = op
+        return dict(s), pah.astype(REAL), st["next_item"]
+
+    lane, pending2, next_item = jax.lax.cond(do_refill, refill, skip,
+                                             (s, pah))
+    lane = _vol_bounce(static, sc, media, st["seed"], lane)
+    return dict(
+        lane=lane,
+        acc=acc,
+        pending=pending2,
+        next_item=next_item,
+        total=st["total"],
+        seed=st["seed"],
+        occ_sum=st["occ_sum"] + jnp.mean(jnp.where(
+            lane["active"] > 0, 1.0, 0.0)),
+        iters=st["iters"] + 1.0,
+    )
+
+
+@partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
+def _vol_wavefront_chunk(static, camera, st, sc, media, k_iters):
+    # sc/media ride OUTSIDE the donated state (donation would delete the
+    # caller's scene buffers; see path_soa._wavefront_chunk).
+    def body(i, s):
+        return _vol_wavefront_body(static, camera, sc, media, s)
+
+    return jax.lax.fori_loop(0, k_iters, body, st)
+
+
+def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
+                         k_iters=6):
+    """Run the volumetric wavefront to completion; returns
+    (acc (3, n_pix) f64 sample sums, total_rays)."""
+    import os as _os
+
+    total = n_pix * spp
+    if total >= 2 ** 32:
+        raise ValueError(
+            f"volpath wavefront work queue: n_pix*spp = {total} >= 2^32; "
+            "use the banded loop for renders this large")
+    lane_q = 1 << 13
+    P = int(_os.environ.get("GDPT_VOL_POOL", 1 << 17))
+    P = min(P, -(-total // lane_q) * lane_q)
+    P = -(-P // lane_q) * lane_q
+    zeros_u = jnp.zeros(P, jnp.uint32)
+    lane0 = _init_vol_lanes(static, camera, zeros_u, zeros_u,
+                            jnp.asarray(seed, jnp.uint32))
+    lane0["active"] = jnp.zeros(P, REAL)  # refilled from the queue
+    lane0["rays"] = jnp.asarray(0.0, REAL)
+    st = dict(
+        lane=lane0,
+        acc=jnp.zeros((n_pix, 3), REAL),
+        pending=jnp.zeros(P, REAL),
+        next_item=jnp.asarray(0, jnp.uint32),
+        total=jnp.asarray(total, jnp.uint32),
+        seed=jnp.asarray(seed, jnp.uint32),
+        occ_sum=jnp.asarray(0.0, REAL),
+        iters=jnp.asarray(0.0, REAL),
+    )
+    st = jax.tree_util.tree_map(jnp.copy, st)
+    # f32 device accumulator drains into host f64 every ~64 issued
+    # spp-equivalents (see path_soa.render_soa_wavefront).
+    host_acc = np.zeros((n_pix, 3), np.float64)
+    drain_step = n_pix * 64
+    last_drain = 0
+    while True:
+        st = _vol_wavefront_chunk(static, camera, st, sc, media, k_iters)
+        ni = int(st["next_item"])
+        if (ni >= total
+                and float(jnp.max(st["lane"]["active"])) <= 0
+                and float(jnp.max(st["pending"])) <= 0):
+            break
+        if ni - last_drain >= drain_step:
+            host_acc += np.asarray(st["acc"], np.float64)
+            st["acc"] = jnp.zeros((n_pix, 3), REAL)
+            last_drain = ni
+    host_acc += np.asarray(st["acc"], np.float64)
+    _vol_wavefront_accum.last_occupancy = float(
+        st["occ_sum"]) / max(float(st["iters"]), 1.0)
+    _vol_wavefront_accum.last_iters = float(st["iters"])
+    return host_acc.T, float(st["lane"]["rays"])
 
 
 @partial(jax.jit, static_argnames=("static", "n_samples"))
@@ -558,6 +741,24 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     sc = ps.scene_soa_from_aos(scene)
     media = meds.media_soa(scene.device.media)
     camera = scene.device.camera
+    import os as _os
+
+    if (mesh is None and not static.use_brute_force and on_chunk is None
+            and init_acc is None and not start_sample
+            and n * spp < 2 ** 32
+            and _os.environ.get("GDPT_WAVEFRONT", "1") != "0"):
+        # BVH scenes: the wavefront pool keeps the null-collision inner
+        # loop and shadow march at ~full occupancy via sample
+        # regeneration instead of paying full-width drain iterations.
+        # Checkpoint resume stays on the banded loop (whole-sample
+        # accumulation boundaries).
+        acc, total_rays = _vol_wavefront_accum(
+            static, camera, sc, media, spp, seed, n)
+        img = (acc / spp).T.reshape(h, w, 3).astype(np.float32)
+        img = np.where(np.isfinite(img), img, 0.0)
+        if return_stats:
+            return img, total_rays
+        return img
     ys, xs = np.mgrid[0:h, 0:w]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as SP

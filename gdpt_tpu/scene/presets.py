@@ -135,7 +135,8 @@ def cornell_box(
 
 def volpath_scene(version=1, width=48, height=48, spp=16, max_depth=-1,
                   sigma_a=(0.1, 0.1, 0.1), sigma_s=(0.7, 0.7, 0.7), g=0.0,
-                  hetero=False, grid_res=None, with_diffuse_sphere=False):
+                  hetero=False, grid_res=None, with_diffuse_sphere=False,
+                  force_bvh=False):
     """Volumetric test scene family mirroring scenes/volpath_test/*.xml:
     emissive spheres inside a global homogeneous (or grid) medium, camera
     immersed in the medium."""
@@ -190,7 +191,8 @@ def volpath_scene(version=1, width=48, height=48, spp=16, max_depth=-1,
         integrator="volpath", samples_per_pixel=spp, max_depth=max_depth,
         vol_path_version=version,
     )
-    return build.build_scene(cam, materials, shapes, lights, [medium], options=opts)
+    return build.build_scene(cam, materials, shapes, lights, [medium],
+                             options=opts, force_bvh=force_bvh)
 
 
 def furnace_sphere(albedo=1.0, emission=1.0, width=64, height=64, spp=16,

@@ -430,3 +430,25 @@ def test_path_wavefront_matches_banded(monkeypatch):
     monkeypatch.setenv("GDPT_WAVEFRONT", "1")
     b = path_soa.render_soa(sc, spp=3, seed=5)
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
+
+
+def test_volpath_wavefront_matches_banded(monkeypatch):
+    """render_volpath_soa's wavefront pool (the default on BVH scenes)
+    is the same estimator as the banded loop: the shared per-lane
+    bounce body keys RNG on (pixel, sample, bounce, slot) only, so
+    pooled lanes at mixed depths reproduce the banded streams exactly
+    (ray counts match to the ray)."""
+    from gdpt_tpu.integrators import volpath_soa
+
+    sc = presets.volpath_scene(version=6, width=20, height=20, spp=3,
+                               max_depth=6, hetero=True,
+                               with_diffuse_sphere=True, force_bvh=True)
+    assert not sc.static.use_brute_force
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a, ra = volpath_soa.render_volpath_soa(sc, spp=3, seed=5,
+                                           return_stats=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    b, rb = volpath_soa.render_volpath_soa(sc, spp=3, seed=5,
+                                           return_stats=True)
+    assert ra == rb
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
