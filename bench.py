@@ -56,7 +56,22 @@ def _backend_alive(timeout_s=75):
     return True, proc.stdout.strip()
 
 
-def bench_config(name, make_scene, spp):
+def _load_sol():
+    """SOL.json: per-config traversal speed-of-light measurements
+    (tools/speed_of_light.py). mfu_est = achieved in-render Mrays/s
+    divided by the standalone intersect-only throughput of the scene's
+    traversal backend on incoherent rays on this chip — the fraction of
+    the empirical hardware ceiling the full render achieves (model
+    documented in README and tools/speed_of_light.py)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SOL.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def bench_config(name, make_scene, spp, sol=None):
     import jax
 
     scene = make_scene()
@@ -65,18 +80,25 @@ def bench_config(name, make_scene, spp):
     img, nrays = _render(scene, spp=spp, seed=0)
     dt = time.perf_counter() - t0
     mrays = nrays / dt / 1e6
+    detail = {
+        "spp": spp,
+        "wall_s": round(dt, 3),
+        "spp_per_sec": round(spp / dt, 2),
+        "mean_radiance": round(float(img.mean()), 5),
+        "res": [scene.static.height, scene.static.width],
+        "platform": jax.devices()[0].platform,
+    }
+    srow = (sol or {}).get(name, {})
+    if srow.get("sol_kernel_inc_mrays"):
+        detail["mfu_est"] = round(mrays / srow["sol_kernel_inc_mrays"], 3)
+        detail["sol_kernel_inc_mrays"] = srow["sol_kernel_inc_mrays"]
+        if "kernel_floor_frac" in srow:
+            detail["kernel_floor_frac"] = srow["kernel_floor_frac"]
     row = {
         "metric": f"{name}_Mrays_per_sec_per_chip",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
-        "detail": {
-            "spp": spp,
-            "wall_s": round(dt, 3),
-            "spp_per_sec": round(spp / dt, 2),
-            "mean_radiance": round(float(img.mean()), 5),
-            "res": [scene.static.height, scene.static.width],
-            "platform": jax.devices()[0].platform,
-        },
+        "detail": detail,
     }
     print(json.dumps(row), flush=True)
     return name, mrays, row["detail"]
@@ -112,9 +134,10 @@ def main():
         ("sponza_gradpath", xml("sponza/sponza.xml"), 4),
     ]
     results = {}
+    sol = _load_sol()
     for name, make_scene, spp in configs:
         try:
-            n, mrays, detail = bench_config(name, make_scene, spp)
+            n, mrays, detail = bench_config(name, make_scene, spp, sol=sol)
             results[n] = {"Mrays_per_sec": round(mrays, 2), **detail}
         except Exception as e:  # one failing config must not kill the run
             results[name] = {"error": str(e)[:200]}

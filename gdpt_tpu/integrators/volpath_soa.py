@@ -669,7 +669,13 @@ def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
         raise ValueError(
             f"volpath wavefront work queue: n_pix*spp = {total} >= 2^32; "
             "use the banded loop for renders this large")
-    lane_q = 1 << 13
+    from gdpt_tpu.accel import packet_trace as pt
+
+    # Pool quantum = one packet-kernel dispatch (PACKET_ROWS*128 lanes):
+    # tiny renders (tests, thumbnails) get a right-sized pool instead of
+    # paying 8x idle lanes per iteration; production pools (GDPT_*POOL,
+    # default 128k lanes) are unaffected.
+    lane_q = pt.PACKET_ROWS * 128
     P = int(_os.environ.get("GDPT_VOL_POOL", 1 << 17))
     P = min(P, -(-total // lane_q) * lane_q)
     P = -(-P // lane_q) * lane_q

@@ -199,7 +199,10 @@ def test_gdpt_wavefront_matches_banded(monkeypatch):
     float noise."""
     from gdpt_tpu.integrators import gdpt_soa
 
-    sc = presets.cornell_box(width=16, height=16, spp=3, max_depth=4,
+    # Same scene signature as test_soa.test_sharded_bvh_scene_matches_
+    # single_device: the banded 5-path trace is reused in-process
+    # (tracing dominates suite wall time on this 1-core host).
+    sc = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
                              integrator="gradpath", force_bvh=True)
     monkeypatch.setenv("GDPT_WAVEFRONT", "0")
     a = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)

@@ -224,14 +224,15 @@ def test_soa_disney_sphere_scene():
                  material_id=1, area_light_id=0),
     ]
     lights = [M.DiffuseAreaLight(1, np.full(3, 20.0))]
-    cam = M.Camera(xf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]), 45.0, 32, 32)
-    opts = M.RenderOptions(integrator="path", samples_per_pixel=32, max_depth=5)
+    cam = M.Camera(xf.look_at([0, 0, -4], [0, 0, 0], [0, 1, 0]), 45.0, 24, 24)
+    opts = M.RenderOptions(integrator="path", samples_per_pixel=16, max_depth=5)
     sc = build.build_scene(cam, materials, shapes, lights, options=opts)
     assert path_soa.supports_soa(sc)
     a = path_soa.render_soa(sc, seed=3)
-    b = R.render_samples(sc, path_aos.trace_path, spp=32, seed=4)
+    b = R.render_samples(sc, path_aos.trace_path, spp=16, seed=4)
     assert np.isfinite(a).all() and (a >= 0).all()
-    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-3) < 0.15
+    assert abs(a.mean() - b.mean()) / max(b.mean(), 1e-3) < 0.15, (
+        a.mean(), b.mean())
 
 
 def _img_env_scene(env, mat=None, spp=64, res=24, max_depth=3):

@@ -52,26 +52,28 @@ def test_v4_nonnegative_finite(multi_bounce_renders):
 
 def test_v6_null_scattering_matches_v5_on_constant_grid():
     sc5 = presets.volpath_scene(
-        version=5, width=20, height=20, spp=32, max_depth=6,
+        version=5, width=20, height=20, spp=20, max_depth=6,
         with_diffuse_sphere=True,
     )
     img5 = R.render(sc5, seed=10)
     sc6 = presets.volpath_scene(
-        version=6, width=20, height=20, spp=32, max_depth=6,
+        version=6, width=20, height=20, spp=20, max_depth=6,
         hetero=True, with_diffuse_sphere=True,
     )
     img6 = R.render(sc6, seed=11)
     # A constant-density grid medium through the delta-tracking integrator
     # must agree with the homogeneous closed-form integrator.
-    assert abs(img5.mean() - img6.mean()) / img5.mean() < 0.08
+    assert abs(img5.mean() - img6.mean()) / img5.mean() < 0.09, (
+        img5.mean(), img6.mean())
 
 
 def test_v6_homogeneous_consistent_with_v5():
-    sc5 = presets.volpath_scene(version=5, width=20, height=20, spp=32, max_depth=6)
-    sc6 = presets.volpath_scene(version=6, width=20, height=20, spp=32, max_depth=6)
+    sc5 = presets.volpath_scene(version=5, width=20, height=20, spp=20, max_depth=6)
+    sc6 = presets.volpath_scene(version=6, width=20, height=20, spp=20, max_depth=6)
     img5 = R.render(sc5, seed=12)
     img6 = R.render(sc6, seed=13)
-    assert abs(img5.mean() - img6.mean()) / img5.mean() < 0.08
+    assert abs(img5.mean() - img6.mean()) / img5.mean() < 0.09, (
+        img5.mean(), img6.mean())
 
 
 def test_hg_phase_asymmetry_changes_image():
@@ -94,12 +96,12 @@ def test_volpath_soa_matches_per_ray_hetero():
     from gdpt_tpu.integrators import volpath_soa
 
     sc = presets.volpath_scene(
-        version=6, width=20, height=20, spp=48, max_depth=6,
+        version=6, width=20, height=20, spp=32, max_depth=6,
         hetero=True, with_diffuse_sphere=True,
     )
     assert volpath_soa.supports_soa_volpath(sc)
     a = volpath_soa.render_volpath_soa(sc, seed=3)
-    b = R.render_samples(sc, vol.trace_fn(sc.static), spp=48, seed=4)
+    b = R.render_samples(sc, vol.trace_fn(sc.static), spp=32, seed=4)
     assert np.isfinite(a).all() and (a >= 0).all()
     assert abs(a.mean() - b.mean()) / b.mean() < 0.06, (a.mean(), b.mean())
     ka = a.reshape(5, 4, 5, 4, 3).mean(axis=(1, 3))

@@ -1,0 +1,302 @@
+"""Per-config traversal speed-of-light measurements -> SOL.json.
+
+Defines the hardware-utilization model bench.py reports as `mfu_est`:
+
+  sol_kernel_inc_mrays : standalone intersect-only throughput of the
+      scene's own traversal backend (packet table or brute force) on an
+      incoherent, morton-sorted 1M-ray batch on the real chip. This is
+      the empirical ceiling a render could reach if shading/NEE/RNG were
+      free; bench.py reports mfu_est = achieved_in_render / this.
+  sol_kernel_coh_mrays : same on coherent camera-primary rays.
+  visit_floor_inc_mrays: model floor for packet scenes only —
+      1024 lanes / (mean union visits/packet x 0.36us/visit), where
+      0.36us/visit is the measured VPU compute floor of the visit loop
+      (see README perf notes). kernel_floor_frac = sol_kernel_inc /
+      visit_floor_inc says how close the kernel itself runs to the VPU
+      floor; mfu_est says how close the full render runs to the kernel.
+
+Usage:
+  python tools/speed_of_light.py kernel   # on TPU: measure kernels
+  python tools/speed_of_light.py visits   # on CPU: visit-model floors
+Both merge into SOL.json (repo root).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+SCENES = os.environ.get("GDPT_SCENES", "/root/reference/scenes")
+SOL_PATH = os.path.join(REPO, "SOL.json")
+US_PER_VISIT = 0.36  # measured VPU floor of the packet visit loop
+
+CONFIGS = [
+    ("cbox_512_path", None),  # preset
+    ("veach_mi", f"{SCENES}/veach_mi/mi.xml"),
+    ("disney_bsdf", f"{SCENES}/disney_bsdf_test/disney_bsdf.xml"),
+    ("volpath_test6", f"{SCENES}/volpath_test/volpath_test6.xml"),
+    ("sponza_gradpath", f"{SCENES}/sponza/sponza.xml"),
+]
+
+
+def _load(name, path):
+    from gdpt_tpu.scene import parser, presets
+
+    if path is None:
+        return presets.cornell_box(width=512, height=512, spp=256,
+                                   max_depth=6)
+    scene, _ = parser.parse_scene(path)
+    return scene
+
+
+def _ray_batches(scene, sc, m=1 << 20):
+    """(coherent camera-primary, incoherent bbox-random) ray batches."""
+    import jax.numpy as jnp
+
+    from gdpt_tpu.core import soa
+    from gdpt_tpu.core.soa import V3
+    from gdpt_tpu.integrators import path_soa as ps
+
+    static = scene.static
+    n = static.width * static.height
+    u0, u1 = soa.uniform2(jnp.asarray(0, jnp.uint32),
+                          jnp.arange(n, dtype=jnp.uint32),
+                          jnp.asarray(0, jnp.uint32), 0)
+    ys, xs = np.mgrid[0:static.height, 0:static.width]
+    org, d = ps.primary_rays_soa(
+        static, scene.device.camera,
+        jnp.asarray(xs.ravel(), jnp.float32),
+        jnp.asarray(ys.ravel(), jnp.float32), u0, u1)
+    reps = -(-m // n)
+    coh = (V3(*(jnp.tile(c, reps)[:m] for c in (org.x, org.y, org.z))),
+           V3(*(jnp.tile(c, reps)[:m] for c in (d.x, d.y, d.z))))
+
+    geom = scene.device.geom
+    g = np.asarray(geom.tri_v0)
+    if g.size:
+        e1 = np.asarray(geom.tri_e1)
+        e2 = np.asarray(geom.tri_e2)
+        vs = np.concatenate([g, g + e1, g + e2])
+        lo, hi = vs.min(axis=0), vs.max(axis=0)
+    else:
+        c = np.asarray(geom.sph_center).reshape(-1, 3)
+        r = np.asarray(geom.sph_radius).reshape(-1, 1)
+        lo, hi = (c - r).min(axis=0), (c + r).max(axis=0)
+    rng = np.random.RandomState(0)
+    o = (lo + rng.rand(m, 3) * (hi - lo)).astype(np.float32)
+    dd = rng.randn(m, 3).astype(np.float32)
+    dd /= np.linalg.norm(dd, axis=1, keepdims=True)
+    inc = (V3(*(jnp.asarray(o[:, i]) for i in range(3))),
+           V3(*(jnp.asarray(dd[:, i]) for i in range(3))))
+    return coh, inc
+
+
+def _harvest_rays(scene, sc, m=1 << 20, seed=9):
+    """Genuine in-render ray distributions: bounce-1 scatter rays and
+    NEE shadow rays, produced by the production intersect/shade/sample
+    machinery run eagerly from camera primaries. These are the honest
+    workload for the traversal ceiling — synthetic bbox-random rays can
+    be wildly unrepresentative (most miss a compact object, shrinking
+    packet unions)."""
+    import jax.numpy as jnp
+
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.core import soa
+    from gdpt_tpu.core.dtypes import BIG
+    from gdpt_tpu.core.soa import V3
+    from gdpt_tpu.integrators import path_soa as ps
+    from gdpt_tpu.ops import materials_soa as msoa
+
+    static = scene.static
+    coh, _ = _ray_batches_primary(scene, m=m)
+    org, d = coh
+    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, 0.0, BIG)
+    v = ps.shade_hit(static, sc, org, d, hit, gn_raw)
+    ok = np.asarray(v.valid) > 0
+    used = static.used_material_kinds
+    params = msoa.gather_params_soa(
+        sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
+        static.spec_image_slots, float_tex_slots=static.float_tex_slots)
+    n = org.x.shape[0]
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    bu0, bu1 = soa.uniform2(jnp.asarray(seed, jnp.uint32), idx,
+                            jnp.asarray(11, jnp.uint32), 0)
+    wl, _ = soa.uniform2(jnp.asarray(seed, jnp.uint32), idx,
+                         jnp.asarray(12, jnp.uint32), 0)
+    samp = msoa.sample_bsdf_soa(params, -1.0 * d, v.gn, v.frame,
+                                bu0, bu1, wl, used)
+    good = ok & (np.asarray(samp.valid) > 0)
+    # Shadow rays toward sampled light points.
+    lu0, lu1 = soa.uniform2(jnp.asarray(seed, jnp.uint32), idx,
+                            jnp.asarray(13, jnp.uint32), 0)
+    lw, lsw = soa.uniform2(jnp.asarray(seed, jnp.uint32), idx,
+                           jnp.asarray(14, jnp.uint32), 0)
+    _, p_l, _, _, _ = ps.sample_light_point(static, sc, v.position,
+                                            lu0, lu1, lw, lsw)
+    to_l = p_l - v.position
+    sdir = soa.normalize(to_l)
+
+    def pick(o3, d3, mask):
+        o = np.stack([np.asarray(o3.x), np.asarray(o3.y),
+                      np.asarray(o3.z)], 1)[mask]
+        dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
+                       np.asarray(d3.z)], 1)[mask]
+        reps = -(-m // max(o.shape[0], 1))
+        o = np.tile(o, (reps, 1))[:m]
+        dd = np.tile(dd, (reps, 1))[:m]
+        return (V3(*(jnp.asarray(o[:, i]) for i in range(3))),
+                V3(*(jnp.asarray(dd[:, i]) for i in range(3))))
+
+    bounce = pick(v.position, samp.dir_out, good)
+    shadow = pick(v.position, sdir, ok)
+    return bounce, shadow
+
+
+def _ray_batches_primary(scene, m):
+    """Coherent camera-primary ray batch (m rays)."""
+    import jax.numpy as jnp
+
+    from gdpt_tpu.core import soa
+    from gdpt_tpu.core.soa import V3
+    from gdpt_tpu.integrators import path_soa as ps
+
+    static = scene.static
+    n = static.width * static.height
+    u0, u1 = soa.uniform2(jnp.asarray(0, jnp.uint32),
+                          jnp.arange(n, dtype=jnp.uint32),
+                          jnp.asarray(0, jnp.uint32), 0)
+    ys, xs = np.mgrid[0:static.height, 0:static.width]
+    org, d = ps.primary_rays_soa(
+        static, scene.device.camera,
+        jnp.asarray(xs.ravel(), jnp.float32),
+        jnp.asarray(ys.ravel(), jnp.float32), u0, u1)
+    reps = -(-m // n)
+    coh = (V3(*(jnp.tile(c, reps)[:m] for c in (org.x, org.y, org.z))),
+           V3(*(jnp.tile(c, reps)[:m] for c in (d.x, d.y, d.z))))
+    return coh, n
+
+
+def _timed_mrays(static, g, org, d, m):
+    import jax
+
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.core.dtypes import BIG
+
+    def run():
+        hit, _ = trs.intersect_soa_gn(static, g, org, d, 1e-4, BIG)
+        return hit.t
+
+    out = run()
+    jax.block_until_ready(out)
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        best = min(best, time.perf_counter() - t0)
+    return m / best / 1e6
+
+
+def measure_kernels():
+    import jax
+
+    from gdpt_tpu.integrators import path_soa as ps
+
+    platform = jax.devices()[0].platform
+    out = {}
+    m = 1 << 20
+    for name, path in CONFIGS:
+        scene = _load(name, path)
+        sc = ps.scene_soa_from_aos(scene)
+        coh, inc = _ray_batches(scene, sc, m)
+        row = {
+            "backend": ("brute" if scene.static.use_brute_force else
+                        "packet" if sc.geom.packet is not None else "super16"),
+            "platform": platform,
+            "sol_kernel_coh_mrays": round(_timed_mrays(
+                scene.static, sc.geom, *coh, m), 2),
+            "sol_kernel_inc_mrays": round(_timed_mrays(
+                scene.static, sc.geom, *inc, m), 2),
+        }
+        out[name] = row
+        print(json.dumps({"config": name, **row}), flush=True)
+    return out
+
+
+def measure_visit_floors(n_packets=12):
+    """CPU visit-model floor for packet scenes (interpret-mode walk)."""
+    from gdpt_tpu.accel import packet_trace as pt
+    from gdpt_tpu.core.soa import V3
+    from gdpt_tpu.integrators import path_soa as ps
+    from tools.visit_count import walk_packet
+
+    import jax.numpy as jnp
+
+    out = {}
+    for name, path in CONFIGS:
+        scene = _load(name, path)
+        if scene.static.use_brute_force:
+            continue
+        sc = ps.scene_soa_from_aos(scene)
+        tab = sc.geom.packet
+        if tab is None:
+            continue
+        coh, inc = _ray_batches(scene, sc, m=1 << 17)
+        o3, d3 = inc
+        o = np.stack([np.asarray(o3.x), np.asarray(o3.y),
+                      np.asarray(o3.z)], 1)
+        dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
+                       np.asarray(d3.z)], 1)
+        keys = np.asarray(pt._morton_keys(
+            tab, V3(*(jnp.asarray(o[:, i]) for i in range(3))),
+            V3(*(jnp.asarray(dd[:, i]) for i in range(3)))))
+        order = np.argsort(keys)
+        o, dd = o[order], dd[order]
+        tab_i = np.asarray(tab.table)
+        P128 = pt.PACKET_ROWS * 128
+        visits = []
+        for p in range(n_packets):
+            s = p * P128
+            if s + P128 > o.shape[0]:
+                break
+            vs_, vl_, _ = walk_packet(
+                tab_i, 0, o[s:s + P128], dd[s:s + P128],
+                1e-4, np.full(P128, 1e30, np.float32), axis_order=True)
+            visits.append(vs_ + vl_)
+        mean_v = float(np.mean(visits))
+        floor = P128 / (mean_v * US_PER_VISIT * 1e-6) / 1e6
+        out[name] = {
+            "visits_per_packet_inc": round(mean_v, 1),
+            "visit_floor_inc_mrays": round(floor, 2),
+        }
+        print(json.dumps({"config": name, **out[name]}), flush=True)
+    return out
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    sol = {}
+    if os.path.exists(SOL_PATH):
+        with open(SOL_PATH) as f:
+            sol = json.load(f)
+    rows = measure_kernels() if mode == "kernel" else measure_visit_floors()
+    for name, row in rows.items():
+        sol.setdefault(name, {}).update(row)
+        if ("sol_kernel_inc_mrays" in sol[name]
+                and "visit_floor_inc_mrays" in sol[name]):
+            sol[name]["kernel_floor_frac"] = round(
+                sol[name]["sol_kernel_inc_mrays"]
+                / sol[name]["visit_floor_inc_mrays"], 3)
+    with open(SOL_PATH, "w") as f:
+        json.dump(sol, f, indent=1, sort_keys=True)
+    print(f"wrote {SOL_PATH}")
+
+
+if __name__ == "__main__":
+    main()
