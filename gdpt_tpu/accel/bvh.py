@@ -177,3 +177,117 @@ def _build_bvh_numpy(bmin, bmax, cent):
         miss,
         prim_out.astype(np.int32),
     )
+
+
+def _clip_poly(poly, ax, t, below):
+    """Sutherland-Hodgman clip of a convex polygon against an axis
+    plane; returns None when the kept side is (near) empty."""
+    res = []
+    k = poly.shape[0]
+    for i in range(k):
+        a, b = poly[i], poly[(i + 1) % k]
+        da, db = a[ax] - t, b[ax] - t
+        ina = (da <= 0.0) if below else (da >= 0.0)
+        inb = (db <= 0.0) if below else (db >= 0.0)
+        if ina:
+            res.append(a)
+        if ina != inb:
+            f = da / (da - db)
+            res.append(a + f * (b - a))
+    if len(res) < 3:
+        return None
+    return np.asarray(res)
+
+
+def presplit_refs(tri_v0, tri_v1, tri_v2, sph_center=None, sph_radius=None,
+                  budget_factor=1.0):
+    """Early split clipping (Ernst & Greiner 2007): split the largest
+    triangle AABBs at their longest-axis midplane into clipped
+    sub-references until the extra-reference budget is spent.
+
+    Big-scene packet unions are driven by leaf/node bbox overlap; long
+    thin architectural triangles (sponza's arches, beams) bound huge
+    empty boxes that every nearby packet must visit. Splitting the
+    BOUNDS (intersection still tests the full triangle — a duplicate
+    hit is a real hit, so closest/any-hit stay exact) tightens the tree
+    without touching traversal.
+
+    Returns (ref_prim i32, ref_bmin f32 (R,3), ref_bmax f32 (R,3))
+    covering all triangles AND spheres (sphere refs are never split),
+    ordered with every triangle/sphere appearing at least once.
+    """
+    import heapq
+
+    v0 = np.asarray(tri_v0, np.float64).reshape(-1, 3)
+    v1 = np.asarray(tri_v1, np.float64).reshape(-1, 3)
+    v2 = np.asarray(tri_v2, np.float64).reshape(-1, 3)
+    n = v0.shape[0]
+    budget = int(n * budget_factor)
+
+    def half_area(lo, hi):
+        d = hi - lo
+        return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
+
+    heap = []
+    serial = 0
+    for i in range(n):
+        poly = np.stack([v0[i], v1[i], v2[i]])
+        lo, hi = poly.min(0), poly.max(0)
+        heap.append((-half_area(lo, hi), serial, i, poly))
+        serial += 1
+    heapq.heapify(heap)
+    done = []
+    # Never split below this fraction of the mean box diagonal: tiny
+    # refs cost table rows without shrinking unions further.
+    if heap:
+        mean_diag = float(np.mean([np.linalg.norm(
+            e[3].max(0) - e[3].min(0)) for e in heap[: min(len(heap), 4096)]]))
+    while heap and budget > 0:
+        negA, _, prim, poly = heapq.heappop(heap)
+        lo, hi = poly.min(0), poly.max(0)
+        ax = int(np.argmax(hi - lo))
+        if (hi[ax] - lo[ax]) < 0.25 * mean_diag:
+            done.append((prim, lo, hi))
+            continue
+        mid = 0.5 * (lo[ax] + hi[ax])
+        left = _clip_poly(poly, ax, mid, True)
+        right = _clip_poly(poly, ax, mid, False)
+        if left is None or right is None:
+            done.append((prim, lo, hi))
+            continue
+        for piece in (left, right):
+            heapq.heappush(heap, (-half_area(piece.min(0), piece.max(0)),
+                                  serial, prim, piece))
+            serial += 1
+        budget -= 1
+    for negA, _, prim, poly in heap:
+        done.append((prim, poly.min(0), poly.max(0)))
+
+    ref_prim = np.asarray([d[0] for d in done], np.int32)
+    ref_bmin = np.asarray([d[1] for d in done], np.float32)
+    ref_bmax = np.asarray([d[2] for d in done], np.float32)
+    if sph_center is not None and np.asarray(sph_center).size:
+        c = np.asarray(sph_center, np.float64).reshape(-1, 3)
+        r = np.asarray(sph_radius, np.float64).reshape(-1, 1)
+        ref_prim = np.concatenate(
+            [ref_prim, n + np.arange(c.shape[0], dtype=np.int32)])
+        ref_bmin = np.concatenate([ref_bmin, (c - r).astype(np.float32)])
+        ref_bmax = np.concatenate([ref_bmax, (c + r).astype(np.float32)])
+    return ref_prim, ref_bmin, ref_bmax
+
+
+def build_bvh_over_refs(ref_bmin, ref_bmax):
+    """Binned-SAH BVH over arbitrary reference boxes (pre-split refs);
+    prim_order in the result indexes REFS, not primitives."""
+    bmin = np.asarray(ref_bmin, np.float64)
+    bmax = np.asarray(ref_bmax, np.float64)
+    cent = 0.5 * (bmin + bmax)
+    try:
+        from gdpt_tpu.accel import native
+
+        arrays = native.build_bvh(bmin, bmax, cent, LEAF_SIZE, N_BINS)
+        if arrays is not None:
+            return arrays
+    except Exception:
+        pass
+    return _build_bvh_numpy(bmin, bmax, cent)

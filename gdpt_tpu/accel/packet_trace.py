@@ -80,7 +80,9 @@ class PacketTable(NamedTuple):
 def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                        prim_order, tri_v0, tri_e1, tri_e2,
                        sph_center=None, sph_radius=None,
-                       leaf_skip_from=None):
+                       leaf_skip_from=None,
+                       prim_of_ref=None, ref_bbox_min=None,
+                       ref_bbox_max=None):
     """Host-side collapse of the binary miss-link BVH into the packet
     table. Returns None when the scene exceeds the VMEM residency cap.
 
@@ -88,12 +90,31 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     frontier expansion over the DFS/miss-link layout) but with fixed
     12-prim leaf rows chained per fat leaf, so leaf fatness never
     widens the row.
+
+    prim_of_ref / ref_bbox_min / ref_bbox_max support pre-split
+    references (early split clipping): prim_order then indexes split
+    REFERENCES, prim_of_ref maps each reference to its original
+    primitive id (emitted in leaf rows, so hit attributes and sphere
+    detection see original ids), and the ref bboxes (clipped to the
+    split region) drive the stored leaf-group bounds — the whole point
+    of splitting. Duplicate refs of one primitive inside a single leaf
+    group are deduped (one geometry row, union of the refs' boxes).
     """
     n_nodes = count.shape[0]
     n_tris = tri_v0.shape[0]
     if n_nodes == 0:
         return None
     order = np.asarray(prim_order)
+    # pid[ref] -> original primitive id (identity without pre-splits).
+    pid = (np.asarray(prim_of_ref, np.int64) if prim_of_ref is not None
+           else None)
+    rbmin = (np.asarray(ref_bbox_min, np.float32)
+             if ref_bbox_min is not None else None)
+    rbmax = (np.asarray(ref_bbox_max, np.float32)
+             if ref_bbox_max is not None else None)
+
+    def to_pid(p):
+        return pid[p] if pid is not None else p
     count = np.asarray(count)
     first = np.asarray(first)
     miss = np.asarray(miss).astype(np.int64)
@@ -110,7 +131,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         geo9 = np.concatenate(
             [np.concatenate([v0a, e1a, e2a], axis=1), sph9], axis=0)
     else:
-        if order.size and order.max(initial=0) >= n_tris:
+        if order.size and to_pid(order).max(initial=0) >= n_tris:
             return None
         geo9 = np.concatenate([v0a, e1a, e2a], axis=1)
 
@@ -148,7 +169,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         if leaf_skip_from is None:
             return cnt
         p = order[lo: lo + cnt]
-        return int((p < leaf_skip_from).sum())
+        return int((to_pid(p) < leaf_skip_from).sum())
 
     def binpack(leaf_kids):
         """First-fit-descending pack of leaf nodes into <= LEAF_TRIS
@@ -165,6 +186,12 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                 bins.append([[c], k])
         return [m for m, _ in bins]
 
+    # GDPT_EXPAND_PREMERGE=1 reverts to pre-merge slot counting (the
+    # c1656d6 state) for hardware A/B of the 16-slot expansion: wider
+    # rows mean more slab tests per visit, so the visit-count win must
+    # be confirmed as a wall-clock win on the chip.
+    premerge = os.environ.get("GDPT_EXPAND_PREMERGE", "0") == "1"
+
     def expand16(b):
         """Split largest-first until 16 POST-MERGE child slots: leaf
         siblings that bin-pack into shared rows occupy one slot, so the
@@ -175,7 +202,9 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             sups = [x for x in frontier if x not in fat_of]
             leaves = [x for x in frontier if x in fat_of]
             bins = binpack(leaves)
-            if len(sups) + len(bins) >= 16 or not sups:
+            full = (len(frontier) >= 16 if premerge
+                    else len(sups) + len(bins) >= 16)
+            if full or not sups:
                 return sups, bins
             big = max(sups, key=lambda x: cnt_sub[x])
             i = frontier.index(big)
@@ -211,11 +240,11 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     n_super = len(order_q)
 
     def eff_prims(c):
-        """A fat node's prim ids, minus any outside-tested spheres."""
+        """A fat node's ref ids, minus any outside-tested spheres."""
         lo, cnt = fat_ranges[fat_of[c]]
         p = order[lo: lo + cnt].astype(np.int32)
         if leaf_skip_from is not None:
-            p = p[p < leaf_skip_from]
+            p = p[to_pid(p) < leaf_skip_from]
         return p
 
     # Sibling-leaf bin packing (bins precomputed in expand16): SAH
@@ -234,30 +263,42 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         sups, bins = kid_plan[si]
         entries = [("s", c) for c in sups]
         for members in bins:
-            prims = (np.concatenate([eff_prims(c) for c in members])
-                     if members else np.zeros(0, np.int32))
-            if prims.shape[0] == 0:
+            refs = (np.concatenate([eff_prims(c) for c in members])
+                    if members else np.zeros(0, np.int32))
+            if refs.shape[0] == 0:
                 continue  # only skipped spheres lived here: drop child
             gi = len(leaf_groups)
+            if rbmin is not None:
+                # Pre-split refs: group bbox = union of the refs'
+                # CLIPPED boxes (the splitting win); geometry rows are
+                # deduped per original primitive — the kept full-
+                # triangle test covers every ref's region.
+                group_bbox.append((rbmin[refs].min(axis=0),
+                                   rbmax[refs].max(axis=0)))
+                _, keep = np.unique(to_pid(refs), return_index=True)
+                prims = refs[np.sort(keep)]
+            else:
+                prims = refs
+                # Tight bbox from primitive geometry. Triangle rows are
+                # (v0, e1, e2); sphere rows (prim id >= n_tris, present
+                # in leaves only when leaf_skip_from is None) are
+                # (center, (r,0,0,..)) and must contribute center +- r
+                # on ALL axes, not the degenerate tri-style corners.
+                pidp = to_pid(prims)
+                tri_p = pidp[pidp < n_tris]
+                sph_p = pidp[pidp >= n_tris]
+                parts = []
+                if tri_p.size:
+                    parts += [geo9[tri_p, 0:3],
+                              geo9[tri_p, 0:3] + geo9[tri_p, 3:6],
+                              geo9[tri_p, 0:3] + geo9[tri_p, 6:9]]
+                if sph_p.size:
+                    cen = geo9[sph_p, 0:3]
+                    rad = geo9[sph_p, 3:4]
+                    parts += [cen - rad, cen + rad]
+                vs = np.concatenate(parts)
+                group_bbox.append((vs.min(axis=0), vs.max(axis=0)))
             leaf_groups.append(prims)
-            # Tight bbox from primitive geometry. Triangle rows are
-            # (v0, e1, e2); sphere rows (prim id >= n_tris, present in
-            # leaves only when leaf_skip_from is None) are
-            # (center, (r,0,0,..)) and must contribute center +- r on
-            # ALL axes, not the degenerate tri-style corners.
-            tri_p = prims[prims < n_tris]
-            sph_p = prims[prims >= n_tris]
-            parts = []
-            if tri_p.size:
-                parts += [geo9[tri_p, 0:3],
-                          geo9[tri_p, 0:3] + geo9[tri_p, 3:6],
-                          geo9[tri_p, 0:3] + geo9[tri_p, 6:9]]
-            if sph_p.size:
-                cen = geo9[sph_p, 0:3]
-                rad = geo9[sph_p, 3:4]
-                parts += [cen - rad, cen + rad]
-            vs = np.concatenate(parts)
-            group_bbox.append((vs.min(axis=0), vs.max(axis=0)))
             for c in members:
                 node_group[c] = gi
             entries.append(("l", gi))
@@ -318,9 +359,10 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     for gi, prims in enumerate(leaf_groups):
         row = n_super + gi
         cnt = prims.shape[0]
-        table[row, : cnt * 9] = geo9[prims].reshape(-1)
+        pids = to_pid(prims)
+        table[row, : cnt * 9] = geo9[pids].reshape(-1)
         ids = np.full(LEAF_TRIS, -1, np.int32)
-        ids[:cnt] = prims
+        ids[:cnt] = pids
         ti[row, 108:120] = ids
 
     stack_n = max(64, 16 * (max_depth + 1))
