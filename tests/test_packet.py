@@ -349,3 +349,35 @@ def test_many_spheres_in_table(monkeypatch):
             assert (c + r_ <= bhi + 1e-4).all(), "sphere bbox too tight"
             sph_seen += 1
     assert sph_seen == 12
+
+
+def test_presplit_refs_match_brute_force():
+    """Pre-split reference tables (early split clipping) are exact:
+    duplicated full-triangle rows + clipped group bboxes must reproduce
+    brute-force closest hits. (Measured a visit-count LOSS on sponza —
+    README dead-ends — so presplit is not wired into production; this
+    guards the infrastructure's correctness.)"""
+    v0, v1, v2 = _soup(900, seed=13)
+    e1, e2 = v1 - v0, v2 - v0
+    rp, rbmin, rbmax = gbvh.presplit_refs(v0, v1, v2, budget_factor=1.0)
+    assert rp.shape[0] > 900  # splits actually happened
+    arr = gbvh.build_bvh_over_refs(rbmin, rbmax)
+    tab = pt.build_packet_table(
+        arr.bbox_min, arr.bbox_max, arr.first, arr.count, arr.miss,
+        arr.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32),
+        prim_of_ref=rp, ref_bbox_min=rbmin, ref_bbox_max=rbmax)
+    assert tab is not None
+    org, d = _rays(1024, seed=14)
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    bt, bp = _brute(v0, e1, e2, org, d)
+    prim = np.asarray(prim)
+    assert (prim == bp).mean() == 1.0
+    good = bp >= 0
+    assert good.mean() > 0.1
+    np.testing.assert_allclose(np.asarray(t)[good], bt[good],
+                               rtol=1e-3, atol=1e-4)
+    occ = np.asarray(pt.occluded_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
+    assert (occ == (bp >= 0)).all()
