@@ -221,10 +221,10 @@ def _gdpt_bounce(static, sc: ps.SceneSoA, used, seed, s):
     if static.n_lights > 0:
         lu0, lu1 = uni2(b, ps._CTR_LIGHT_UV)
         lw, lsw = uni2(b, ps._CTR_LIGHT_W)
-        nee = ps.nee_soa(static, sc, base_v, params, dir_view, used,
-                         lu0, lu1, lw, lsw, extend)
+        nee, shadow_mask = ps.nee_soa(static, sc, base_v, params, dir_view,
+                                      used, lu0, lu1, lw, lsw, extend)
         radiance = radiance + throughput * nee
-        rays = rays + jnp.sum(jnp.where(extend, 1.0, 0.0))
+        rays = rays + jnp.sum(shadow_mask)
 
     bu0, bu1 = uni2(b, ps._CTR_BSDF_UV)
     w_lobe, u_rr = uni2(b, ps._CTR_BSDF_W)

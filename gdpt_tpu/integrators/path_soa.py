@@ -572,18 +572,11 @@ def nee_soa(static, sc: SceneSoA, v: VertexSoA, params, dir_view: V3,
     dist = soa.length(to_l)
     dir_area = to_l * (1.0 / jnp.maximum(dist, 1e-20))
     dl = soa.where(is_env, -1.0 * n_l, dir_area)
-    tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
-    # Inactive lanes become dead rays (tfar < tnear): the traversal
-    # backends exit them immediately instead of tracing stale rays.
-    tfar = jnp.where(active, tfar, -1.0)
-    unoccluded = 1.0 - trs.occluded_soa(
-        static, sc.geom, v.position, dl, eps_shadow, tfar
-    ).astype(REAL)
     g_area = jnp.maximum(-soa.dot(dl, n_l), 0.0) / jnp.maximum(dist * dist, 1e-20)
-    g = jnp.where(is_env, 1.0, g_area) * unoccluded
+    g_geo = jnp.where(is_env, 1.0, g_area)
     p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
     f_nee = msoa.eval_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
-    p2 = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used) * g
+    p2_raw = msoa.pdf_bsdf_soa(params, dir_view, dl, v.gn, v.frame, used)
     # Footprint 0 for NEE env taps, matching the per-ray path
     # (path.py:67 passes view_footprint = 0.0 -> level-0 lookup).
     env_nee = (
@@ -600,13 +593,34 @@ def nee_soa(static, sc: SceneSoA, v: VertexSoA, params, dir_view: V3,
             zero3,
         ),
     )
-    ok = (g > 0) & (p1 > 0) & active
+    # Shadow rays only where the contribution can be nonzero: a zero
+    # BSDF factor (e.g. an envmap sample below the hemisphere — ~half
+    # of env NEE taps on a closed surface), zero emission, backfacing
+    # light geometry, or zero light pdf already make the NEE term zero
+    # regardless of occlusion, so those lanes become dead rays (they
+    # morton-sort into all-dead packets that exit after one visit).
+    # Estimator-identical: every skipped lane's contribution is
+    # selected to exactly zero below.
+    need = (active & (g_geo > 0) & (p1 > 0)
+            & (soa.vmax(f_nee) > 0) & (soa.vmax(l_emit) > 0))
+    tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
+    # Inactive/zero lanes become dead rays (tfar < tnear): the traversal
+    # backends exit them immediately instead of tracing stale rays.
+    tfar = jnp.where(need, tfar, -1.0)
+    unoccluded = 1.0 - trs.occluded_soa(
+        static, sc.geom, v.position, dl, eps_shadow, tfar
+    ).astype(REAL)
+    g = g_geo * unoccluded
+    p2 = p2_raw * g
+    ok = (g > 0) & (p1 > 0) & need
     w1 = jnp.where(ok, p1 * p1 / jnp.maximum(p1 * p1 + p2 * p2, 1e-30), 0.0)
     scale = g * w1 / jnp.maximum(p1, 1e-30)
     # Select, don't multiply-by-zero: f_nee can be NaN on masked
     # lanes (degenerate dirs) and NaN * 0 poisons the sum.
     contrib = f_nee * l_emit * scale
-    return soa.where(ok, contrib, zero3)
+    # Second output: per-lane traced-shadow-ray mask (f32), so callers
+    # keep ray counts exact under the zero-contribution skip.
+    return soa.where(ok, contrib, zero3), need.astype(REAL)
 
 
 def hit_light_pdf_soa(static, sc: SceneSoA, ref_pos: V3, nxt: VertexSoA,
@@ -713,10 +727,10 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         if static.n_lights > 0:
             lu0, lu1 = uni2(b, _CTR_LIGHT_UV)
             lw, lsw = uni2(b, _CTR_LIGHT_W)
-            nee = nee_soa(static, sc, v, params, dir_view, used,
-                          lu0, lu1, lw, lsw, active)
+            nee, shadow_mask = nee_soa(static, sc, v, params, dir_view,
+                                       used, lu0, lu1, lw, lsw, active)
             radiance = radiance + s["throughput"] * nee
-            rays = rays + jnp.where(active, 1.0, 0.0)
+            rays = rays + shadow_mask
 
         # ---- BSDF sampling (reference: src/path_tracing.h:232-345) ----
         bu0, bu1 = uni2(b, _CTR_BSDF_UV)
@@ -924,10 +938,10 @@ def _wavefront_body(static, camera, sc, st):
     if static.n_lights > 0:
         lu0, lu1 = soa.uniform2(seed, pixel, ctr(_CTR_LIGHT_UV), sample)
         lw, lsw = soa.uniform2(seed, pixel, ctr(_CTR_LIGHT_W), sample)
-        nee = nee_soa(static, sc, v, params, dir_view, used,
-                      lu0, lu1, lw, lsw, ext)
+        nee, shadow_mask = nee_soa(static, sc, v, params, dir_view, used,
+                                   lu0, lu1, lw, lsw, ext)
         contrib = contrib + tp * nee
-        rays = rays + jnp.sum(jnp.where(ext, 1.0, 0.0))
+        rays = rays + jnp.sum(shadow_mask)
 
     bu0, bu1 = soa.uniform2(seed, pixel, ctr(_CTR_BSDF_UV), sample)
     w_lobe, u_rr = soa.uniform2(seed, pixel, ctr(_CTR_BSDF_W), sample)

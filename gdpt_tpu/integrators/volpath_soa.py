@@ -192,6 +192,28 @@ def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
         dist_full = jnp.maximum(soa.length(to_l), 1e-20)
         dir_light = to_l * (1.0 / dist_full)
 
+        # Zero-contribution skip (estimator-identical): a zero phase/
+        # BSDF factor, backfacing/zero emission, or zero light pdf make
+        # the NEE term zero regardless of transmittance, so those lanes
+        # skip the two-level shadow march entirely (the contribution is
+        # selected to exactly zero below either way).
+        g_pre = jnp.maximum(-soa.dot(dir_light, n_l), 0.0)
+        le_pre = soa.where(
+            soa.dot(n_l, -1.0 * dir_light) > 0,
+            soa.gather(sc.light_intensity, light_id),
+            zero3,
+        )
+        if surface is None:
+            rho_pre = meds.phase_eval_soa(media, static, medium, og_dir,
+                                          dir_light)
+            rho_max = rho_pre
+        else:
+            params_pre, v_pre = surface
+            rho_max = soa.vmax(msoa.eval_bsdf_soa(
+                params_pre, og_dir, dir_light, v_pre.gn, v_pre.frame, used))
+        do_mask = (do_mask & (pdf_nee_pt > 0) & (g_pre > 0)
+                   & (soa.vmax(le_pre) > 0) & (rho_max > 0))
+
         state = dict(
             p=p0,
             t_light=one3,
@@ -351,7 +373,9 @@ def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
             pdf_nee * pdf_nee + pdf_dir * pdf_dir, 1e-30
         )
         ok = visible & (pdf_nee > 0) & do_mask
-        return soa.where(ok, contrib * w, zero3)
+        # Second output: per-lane traced-shadow-ray mask, keeping ray
+        # counts exact under the zero-contribution skip.
+        return soa.where(ok, contrib * w, zero3), do_mask.astype(REAL)
 
     def body(s):
         b = s["it"] + 1
@@ -417,8 +441,8 @@ def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
         do_scatter = alive & scatter & ~depth_stop
         sigma_s = meds.get_sigma_s_soa(media, static, s["medium"], new_org)
         if static.n_lights > 0:
-            nee = nee_vol(b, new_org, -1.0 * s["d"], s["medium"], s["bounces"],
-                          do_scatter)
+            nee, shadow_m1 = nee_vol(b, new_org, -1.0 * s["d"], s["medium"],
+                                     s["bounces"], do_scatter)
             radiance = radiance + soa.where(
                 do_scatter, throughput * sigma_s * nee, zero3
             )
@@ -436,10 +460,12 @@ def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
             float_tex_slots=static.float_tex_slots,
         )
         if static.n_lights > 0:
-            nee_s = nee_vol(b, v.position, -1.0 * s["d"], s["medium"],
-                            s["bounces"], do_surface, surface=(params, v))
-            radiance = radiance + soa.where(do_surface, throughput * nee_s, zero3)
-            rays = rays + jnp.sum(jnp.where(do_scatter | do_surface, 1.0, 0.0))
+            nee_s, shadow_m2 = nee_vol(b, v.position, -1.0 * s["d"],
+                                       s["medium"], s["bounces"], do_surface,
+                                       surface=(params, v))
+            radiance = radiance + soa.where(do_surface, throughput * nee_s,
+                                            zero3)
+            rays = rays + jnp.sum(shadow_m1) + jnp.sum(shadow_m2)
         bu0, bu1 = bounce_uni2(b, _C_BSDF_UV)
         w_lobe, _ = bounce_uni2(b, _C_BSDF_W)
         samp = msoa.sample_bsdf_soa(params, -1.0 * s["d"], v.gn, v.frame,
