@@ -264,8 +264,8 @@ def presplit_refs(tri_v0, tri_v1, tri_v2, sph_center=None, sph_radius=None,
         done.append((prim, poly.min(0), poly.max(0)))
 
     ref_prim = np.asarray([d[0] for d in done], np.int32)
-    ref_bmin = np.asarray([d[1] for d in done], np.float32)
-    ref_bmax = np.asarray([d[2] for d in done], np.float32)
+    ref_bmin = np.asarray([d[1] for d in done], np.float32).reshape(-1, 3)
+    ref_bmax = np.asarray([d[2] for d in done], np.float32).reshape(-1, 3)
     if sph_center is not None and np.asarray(sph_center).size:
         c = np.asarray(sph_center, np.float64).reshape(-1, 3)
         r = np.asarray(sph_radius, np.float64).reshape(-1, 1)

@@ -716,10 +716,13 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     alive = tfar >= tnear
     org0, d0 = org, d  # original order, for the hit-attribute recompute
     inv_perm = None
-    # A/B knob (read at trace time): GDPT_PACKET_SORT=0 disables the
-    # per-dispatch morton/octant argsort — on hardware the sort is
-    # ~60-70 ms per 1M rays per bounce, a candidate overhead when the
-    # caller's lane order is already near-coherent (wavefront pools).
+    # A/B knob: GDPT_PACKET_SORT=0 disables the per-dispatch morton/
+    # octant argsort — on hardware the sort is ~60-70 ms per 1M rays
+    # per bounce, a candidate overhead when the caller's lane order is
+    # already near-coherent (wavefront pools). PROCESS-LEVEL ONLY: the
+    # env is read at jit trace time and is not part of the jit cache
+    # key, so toggling it mid-process silently reuses the first trace —
+    # A/B runs must use separate processes.
     if os.environ.get("GDPT_PACKET_SORT", "1") == "0":
         sort_rays = False
     if sort_rays and n > 128:

@@ -532,7 +532,10 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
         s, pah = op
         rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
         item = st["next_item"] + jnp.where(dead, rank, 0)
-        issue = dead & (item < st["total"])
+        # item >= next_item also rejects uint32 wraparound of
+        # next_item + rank for totals just below 2^32 (a wrapped item
+        # would alias an early (pixel, sample) and drop the true tail).
+        issue = dead & (item < st["total"]) & (item >= st["next_item"])
         new_pixel = jnp.where(issue, item % jnp.uint32(n_pix), s["pixel"])
         new_sample = jnp.where(issue, item // jnp.uint32(n_pix),
                                s["sample"])

@@ -861,7 +861,10 @@ def _wavefront_body(static, camera, sc, st):
     dead = st["alive"] <= 0
     rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
     item = st["next_item"] + jnp.where(dead, rank, 0)
-    issue = dead & (item < st["total"])
+    # item >= next_item also rejects uint32 wraparound of next_item +
+    # rank for totals just below 2^32 (a wrapped item would alias an
+    # early (pixel, sample) and drop the true tail).
+    issue = dead & (item < st["total"]) & (item >= st["next_item"])
     pixel = jnp.where(issue, item % jnp.uint32(n_pix), st["pixel"])
     sample = jnp.where(issue, item // jnp.uint32(n_pix), st["sample"])
     xs = (pixel % jnp.uint32(static.width)).astype(REAL)

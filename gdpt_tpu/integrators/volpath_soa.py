@@ -576,14 +576,15 @@ def _init_vol_lanes(static, camera, pixel, sample, seed):
     )
 
 
-def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media, xs, ys,
+def trace_volpath_soa(static, camera, sc: ps.SceneSoA, media,
                       ray_idx, seed, sample0):
     """One volumetric path sample per lane; returns (radiance V3, rays).
 
     Banded driver: all lanes start at bounce 0 in lockstep and the pool
     runs until every lane dies (per-lane iteration caps bound the
-    loop)."""
-    n = xs.shape[0]
+    loop). Pixel coordinates derive from ray_idx (the linear pixel
+    index) inside _init_vol_lanes."""
+    n = ray_idx.shape[0]
     cap = _loop_cap(static)
     sample = jnp.broadcast_to(jnp.asarray(sample0, jnp.uint32), (n,))
     state = _init_vol_lanes(static, camera, ray_idx, sample, seed)
@@ -638,7 +639,10 @@ def _vol_wavefront_body(static, camera, sc, media, st):
         s, pah = op
         rank = jnp.cumsum(dead.astype(jnp.uint32)) - 1
         item = st["next_item"] + jnp.where(dead, rank, 0)
-        issue = dead & (item < st["total"])
+        # item >= next_item also rejects uint32 wraparound of
+        # next_item + rank for totals just below 2^32 (a wrapped item
+        # would alias an early (pixel, sample) and drop the true tail).
+        issue = dead & (item < st["total"]) & (item >= st["next_item"])
         new_pixel = jnp.where(issue, item % jnp.uint32(n_pix), s["pixel"])
         new_sample = jnp.where(issue, item // jnp.uint32(n_pix), s["sample"])
         fresh = _init_vol_lanes(static, camera, new_pixel, new_sample,
@@ -745,15 +749,15 @@ def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
 
 
 @partial(jax.jit, static_argnames=("static", "n_samples"))
-def _vol_pass(static, camera, sc, media, xs, ys, ray_idx, seed, sample0,
+def _vol_pass(static, camera, sc, media, ray_idx, seed, sample0,
               n_samples):
-    n = xs.shape[0]
+    n = ray_idx.shape[0]
     zero3 = V3(*(jnp.zeros(n, REAL),) * 3)
 
     def one(i, carry):
         acc, rays = carry
         r, nr = trace_volpath_soa(
-            static, camera, sc, media, xs, ys, ray_idx, seed,
+            static, camera, sc, media, ray_idx, seed,
             sample0 + jnp.asarray(i, jnp.uint32),
         )
         return V3(acc.x + r.x, acc.y + r.y, acc.z + r.z), rays + nr
@@ -791,25 +795,18 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
         if return_stats:
             return img, total_rays
         return img
-    ys, xs = np.mgrid[0:h, 0:w]
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as SP
 
         pad = (-n) % (mesh.devices.size * 128)
         shard = NamedSharding(mesh, SP("rays"))
         repl = NamedSharding(mesh, SP())
-        xs_d = jax.device_put(jnp.asarray(np.concatenate(
-            [xs.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
-        ys_d = jax.device_put(jnp.asarray(np.concatenate(
-            [ys.ravel(), np.zeros(pad)]).astype(np.float32)), shard)
         ray_idx = jax.device_put(jnp.asarray(np.concatenate(
             [np.arange(n), np.zeros(pad)]).astype(np.uint32)), shard)
         sc = jax.device_put(sc, repl)
         media = jax.device_put(media, repl)
         camera = jax.device_put(camera, repl)
     else:
-        xs_d = jnp.asarray(xs.ravel(), REAL)
-        ys_d = jnp.asarray(ys.ravel(), REAL)
         ray_idx = jnp.arange(n, dtype=jnp.uint32)
 
     if static.use_brute_force:
@@ -823,7 +820,7 @@ def render_volpath_soa(scene: Scene, spp=None, seed=0, return_stats=False,
     while done < spp:
         k = min(batch, spp - done)
         out, nrays = _vol_pass(
-            static, camera, sc, media, xs_d, ys_d, ray_idx,
+            static, camera, sc, media, ray_idx,
             jnp.asarray(seed, jnp.uint32), jnp.asarray(done, jnp.uint32), k,
         )
         acc[0] += np.asarray(out.x, np.float64)[:n]

@@ -60,23 +60,9 @@ def _ray_batches(scene, sc, m=1 << 20):
     """(coherent camera-primary, incoherent bbox-random) ray batches."""
     import jax.numpy as jnp
 
-    from gdpt_tpu.core import soa
     from gdpt_tpu.core.soa import V3
-    from gdpt_tpu.integrators import path_soa as ps
 
-    static = scene.static
-    n = static.width * static.height
-    u0, u1 = soa.uniform2(jnp.asarray(0, jnp.uint32),
-                          jnp.arange(n, dtype=jnp.uint32),
-                          jnp.asarray(0, jnp.uint32), 0)
-    ys, xs = np.mgrid[0:static.height, 0:static.width]
-    org, d = ps.primary_rays_soa(
-        static, scene.device.camera,
-        jnp.asarray(xs.ravel(), jnp.float32),
-        jnp.asarray(ys.ravel(), jnp.float32), u0, u1)
-    reps = -(-m // n)
-    coh = (V3(*(jnp.tile(c, reps)[:m] for c in (org.x, org.y, org.z))),
-           V3(*(jnp.tile(c, reps)[:m] for c in (d.x, d.y, d.z))))
+    coh, _ = _ray_batches_primary(scene, m)
 
     geom = scene.device.geom
     g = np.asarray(geom.tri_v0)
@@ -143,19 +129,28 @@ def _harvest_rays(scene, sc, m=1 << 20, seed=9):
     to_l = p_l - v.position
     sdir = soa.normalize(to_l)
 
-    def pick(o3, d3, mask):
+    def pick(o3, d3, mask, what):
         o = np.stack([np.asarray(o3.x), np.asarray(o3.y),
                       np.asarray(o3.z)], 1)[mask]
         dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
                        np.asarray(d3.z)], 1)[mask]
-        reps = -(-m // max(o.shape[0], 1))
+        # Guard against sparse harvests: tiling a handful of survivors
+        # to m rays makes an artificially coherent batch and an absurd
+        # SOL ceiling. Require a meaningful survivor population.
+        if o.shape[0] < 1024:
+            raise ValueError(
+                f"_harvest_rays: only {o.shape[0]} {what} survivors "
+                f"(< 1024); harvested SOL would be meaningless")
+        print(f"harvest {what}: {o.shape[0]} survivors tiled to {m}",
+              flush=True)
+        reps = -(-m // o.shape[0])
         o = np.tile(o, (reps, 1))[:m]
         dd = np.tile(dd, (reps, 1))[:m]
         return (V3(*(jnp.asarray(o[:, i]) for i in range(3))),
                 V3(*(jnp.asarray(dd[:, i]) for i in range(3))))
 
-    bounce = pick(v.position, samp.dir_out, good)
-    shadow = pick(v.position, sdir, ok)
+    bounce = pick(v.position, samp.dir_out, good, "bounce")
+    shadow = pick(v.position, sdir, ok, "shadow")
     return bounce, shadow
 
 
@@ -203,6 +198,27 @@ def _timed_mrays(static, g, org, d, m):
     return m / best / 1e6
 
 
+def _timed_occluded_mrays(static, g, org, d, m):
+    import jax
+    import jax.numpy as jnp
+
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.core.dtypes import BIG
+
+    def run():
+        return trs.occluded_soa(static, g, org, d, 1e-4,
+                                jnp.full(m, BIG))
+
+    out = run()
+    jax.block_until_ready(out)
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run())
+        best = min(best, time.perf_counter() - t0)
+    return m / best / 1e6
+
+
 def measure_kernels():
     import jax
 
@@ -215,6 +231,7 @@ def measure_kernels():
         scene = _load(name, path)
         sc = ps.scene_soa_from_aos(scene)
         coh, inc = _ray_batches(scene, sc, m)
+        bounce, shadow = _harvest_rays(scene, sc, m)
         row = {
             "backend": ("brute" if scene.static.use_brute_force else
                         "packet" if sc.geom.packet is not None else "super16"),
@@ -223,6 +240,13 @@ def measure_kernels():
                 scene.static, sc.geom, *coh, m), 2),
             "sol_kernel_inc_mrays": round(_timed_mrays(
                 scene.static, sc.geom, *inc, m), 2),
+            # Harvested in-render distributions: bounce-1 scatter rays
+            # (closest-hit) and NEE shadow rays (any-hit) — the honest
+            # per-workload ceilings.
+            "sol_kernel_bounce_mrays": round(_timed_mrays(
+                scene.static, sc.geom, *bounce, m), 2),
+            "sol_kernel_shadow_mrays": round(_timed_occluded_mrays(
+                scene.static, sc.geom, *shadow, m), 2),
         }
         out[name] = row
         print(json.dumps({"config": name, **row}), flush=True)
@@ -247,33 +271,42 @@ def measure_visit_floors(n_packets=12):
         tab = sc.geom.packet
         if tab is None:
             continue
-        coh, inc = _ray_batches(scene, sc, m=1 << 17)
-        o3, d3 = inc
-        o = np.stack([np.asarray(o3.x), np.asarray(o3.y),
-                      np.asarray(o3.z)], 1)
-        dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
-                       np.asarray(d3.z)], 1)
-        keys = np.asarray(pt._morton_keys(
-            tab, V3(*(jnp.asarray(o[:, i]) for i in range(3))),
-            V3(*(jnp.asarray(dd[:, i]) for i in range(3)))))
-        order = np.argsort(keys)
-        o, dd = o[order], dd[order]
         tab_i = np.asarray(tab.table)
         P128 = pt.PACKET_ROWS * 128
-        visits = []
-        for p in range(n_packets):
-            s = p * P128
-            if s + P128 > o.shape[0]:
-                break
-            vs_, vl_, _ = walk_packet(
-                tab_i, 0, o[s:s + P128], dd[s:s + P128],
-                1e-4, np.full(P128, 1e30, np.float32), axis_order=True)
-            visits.append(vs_ + vl_)
-        mean_v = float(np.mean(visits))
-        floor = P128 / (mean_v * US_PER_VISIT * 1e-6) / 1e6
+
+        def count(o3, d3):
+            o = np.stack([np.asarray(o3.x), np.asarray(o3.y),
+                          np.asarray(o3.z)], 1)
+            dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
+                           np.asarray(d3.z)], 1)
+            keys = np.asarray(pt._morton_keys(
+                tab, V3(*(jnp.asarray(o[:, i]) for i in range(3))),
+                V3(*(jnp.asarray(dd[:, i]) for i in range(3)))))
+            order = np.argsort(keys)
+            o, dd = o[order], dd[order]
+            visits = []
+            stride = max(1, (o.shape[0] // P128) // n_packets)
+            for p in range(0, o.shape[0] // P128, stride):
+                s = p * P128
+                vs_, vl_, _ = walk_packet(
+                    tab_i, 0, o[s:s + P128], dd[s:s + P128],
+                    1e-4, np.full(P128, 1e30, np.float32), axis_order=True)
+                visits.append(vs_ + vl_)
+                if len(visits) >= n_packets:
+                    break
+            return float(np.mean(visits))
+
+        _, inc = _ray_batches(scene, sc, m=1 << 17)
+        bounce, _ = _harvest_rays(scene, sc, m=1 << 17)
+        v_inc = count(*inc)
+        v_bounce = count(*bounce)
         out[name] = {
-            "visits_per_packet_inc": round(mean_v, 1),
-            "visit_floor_inc_mrays": round(floor, 2),
+            "visits_per_packet_inc": round(v_inc, 1),
+            "visit_floor_inc_mrays": round(
+                P128 / (v_inc * US_PER_VISIT * 1e-6) / 1e6, 2),
+            "visits_per_packet_bounce": round(v_bounce, 1),
+            "visit_floor_bounce_mrays": round(
+                P128 / (v_bounce * US_PER_VISIT * 1e-6) / 1e6, 2),
         }
         print(json.dumps({"config": name, **out[name]}), flush=True)
     return out
@@ -288,11 +321,13 @@ def main():
     rows = measure_kernels() if mode == "kernel" else measure_visit_floors()
     for name, row in rows.items():
         sol.setdefault(name, {}).update(row)
-        if ("sol_kernel_inc_mrays" in sol[name]
-                and "visit_floor_inc_mrays" in sol[name]):
-            sol[name]["kernel_floor_frac"] = round(
-                sol[name]["sol_kernel_inc_mrays"]
-                / sol[name]["visit_floor_inc_mrays"], 3)
+        for suffix in ("bounce", "inc"):
+            k, f = (f"sol_kernel_{suffix}_mrays",
+                    f"visit_floor_{suffix}_mrays")
+            if k in sol[name] and f in sol[name]:
+                sol[name]["kernel_floor_frac"] = round(
+                    sol[name][k] / sol[name][f], 3)
+                break
     with open(SOL_PATH, "w") as f:
         json.dump(sol, f, indent=1, sort_keys=True)
     print(f"wrote {SOL_PATH}")

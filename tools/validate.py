@@ -135,7 +135,9 @@ def main():
     # ---- sponza path at equal spp ----------------------------------
     if os.environ.get("GDPT_VALIDATE_ONLY", "") == "cbox":
         # CPU-insurance mode: sponza rows cost hours off-chip; emit the
-        # cbox evidence now, leave existing sponza rows untouched.
+        # cbox evidence now. VALIDATION.json/md are rewritten wholesale,
+        # deliberately DROPPING any stale pre-fix sponza rows — the
+        # _partial marker records that they are pending, not current.
         _write_outputs(results, t_all, partial=True)
         return
     sp, _ = parser.parse_scene(f"{REF}/scenes/sponza/sponza.xml")
