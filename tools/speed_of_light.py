@@ -33,6 +33,14 @@ sys.path.insert(0, REPO)
 
 import numpy as np
 
+# The environment's TPU plugin force-prepends its platform at jax
+# import, so JAX_PLATFORMS=cpu alone HANGS when the tunnel is down;
+# honor the env var programmatically (the only override that works).
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 SCENES = os.environ.get("GDPT_SCENES", "/root/reference/scenes")
 SOL_PATH = os.path.join(REPO, "SOL.json")
 US_PER_VISIT = 0.36  # measured VPU floor of the packet visit loop

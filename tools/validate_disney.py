@@ -28,6 +28,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
 import numpy as np
 
+# The environment's TPU plugin force-prepends its platform at jax
+# import, so JAX_PLATFORMS=cpu alone HANGS when the tunnel is down;
+# honor the env var programmatically (the only override that works).
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT_JSON = os.path.join(ROOT, "VALIDATION.json")
 OUT_MD = os.path.join(ROOT, "VALIDATION.md")
