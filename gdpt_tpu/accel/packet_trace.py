@@ -965,12 +965,13 @@ def _two_phase_on(n):
 
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                     n_tris=None, interpret=None):
+                     n_tris=None, interpret=None, sort_rays=True):
     if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
         return trace_two_phase(tab, org, d, tnear, tfar, n_tris=n_tris,
                                any_hit=False, interpret=interpret)
     return trace_packet_soa(tab, org, d, tnear, tfar, n_tris=n_tris,
-                            any_hit=False, interpret=interpret)
+                            any_hit=False, interpret=interpret,
+                            sort_rays=sort_rays)
 
 
 def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,

@@ -548,9 +548,15 @@ def _merge_spheres_closest(static, g, org, d, tnear, hit: HitSoA, gn):
     return HitSoA(t2, prim2, u2, v2), soa.where(closer, gn_s, gn)
 
 
-def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
+def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar,
+                     sort_rays=True):
     """Closest hit plus, when the pallas backend runs, the unnormalized
-    geometric normal of the hit primitive (None otherwise)."""
+    geometric normal of the hit primitive (None otherwise).
+
+    sort_rays=False skips the packet backend's per-dispatch morton/
+    octant argsort (callers that keep their lane pool pre-sorted, e.g.
+    the pool-sorted wavefront, avoid paying ~60-70 ms per 1M rays per
+    bounce); other backends ignore it."""
     if static.use_brute_force:
         if _use_pallas():
             from gdpt_tpu.accel import pallas_intersect as pli
@@ -563,7 +569,8 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar):
         from gdpt_tpu.accel import packet_trace
 
         t, prim, u, v, gn = packet_trace.intersect_packet(
-            g.packet, org, d, tnear, tfar, n_tris=n_tris_arg)
+            g.packet, org, d, tnear, tfar, n_tris=n_tris_arg,
+            sort_rays=sort_rays)
         hit = HitSoA(t, prim, u, v)
         if _sph_outside(static):
             hit, gn = _merge_spheres_closest(static, g, org, d, tnear,

@@ -15,6 +15,7 @@ filtering, matching the per-ray path's eval_texture
 (reference: src/texture.h:129-139, src/mipmap.h:76-88).
 """
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -895,7 +896,14 @@ def _wavefront_body(static, camera, sc, st):
     # --- trace pending rays (primary tnear = 0, bounce tnear = eps) ---
     tnear = jnp.where(bounce == 0, 0.0, eps_isect)
     tfar = jnp.where(alive, BIG, -1.0)
-    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear, tfar)
+    # Pool-sorted mode (GDPT_POOL_SORT=1, read at trace time): the
+    # driver morton-permutes the whole lane pool once per chunk, so the
+    # extension trace skips its per-dispatch argsort (~60-70 ms per 1M
+    # rays per bounce); NEE shadow dispatches keep their own sort
+    # (different directions). Default off pending hardware A/B.
+    pool_sorted = os.environ.get("GDPT_POOL_SORT", "0") == "1"
+    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear, tfar,
+                                       sort_rays=not pool_sorted)
     v = shade_hit(static, sc, org, d, hit, gn_raw,
                   ray_radius=radius, ray_spread=spread)
     rays = st["rays"] + jnp.sum(jnp.where(alive, 1.0, 0.0))
@@ -1014,6 +1022,31 @@ def _wavefront_body(static, camera, sc, st):
     )
 
 
+# Lane-pool state entries to permute in pool-sorted mode (everything
+# pool-shaped; accumulators/scalars stay put).
+_POOL_KEYS = ("org", "d", "tp", "pdf_prev", "eta_scale", "rr_prev",
+              "cont", "radius", "spread", "pixel", "sample", "bounce",
+              "alive")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _pool_sort(st, tab):
+    """Morton/octant-permute the wavefront lane pool in place (dead
+    lanes to the back, where they pack into all-dead packets). Lane
+    identity (pixel, sample) rides with the state, so the estimator is
+    unchanged — only packet composition improves."""
+    from gdpt_tpu.accel import packet_trace as pt
+
+    keys = pt._morton_keys(tab, st["org"], st["d"])
+    keys = jnp.where(st["alive"] > 0, keys, jnp.int32(2 ** 30))
+    perm = jnp.argsort(keys)
+    out = dict(st)
+    for k in _POOL_KEYS:
+        out[k] = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, perm, axis=0), st[k])
+    return out
+
+
 @partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
 def _wavefront_chunk(static, camera, st, sc, k_iters):
     # sc must NOT ride inside the donated pytree: donation deletes the
@@ -1096,7 +1129,11 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
         st["acc_y"] = jnp.zeros(n_pix, REAL)
         st["acc_z"] = jnp.zeros(n_pix, REAL)
 
+    pool_sort = (__import__("os").environ.get("GDPT_POOL_SORT", "0") == "1"
+                 and sc.geom.packet is not None)
     while True:
+        if pool_sort:
+            st = _pool_sort(st, sc.geom.packet)
         st = _wavefront_chunk(static, scene.device.camera, st, sc, k_iters)
         ni = int(st["next_item"])
         done = ni >= total

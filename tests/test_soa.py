@@ -453,3 +453,19 @@ def test_volpath_wavefront_matches_banded(monkeypatch):
                                            return_stats=True)
     assert ra == rb
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
+
+
+def test_path_wavefront_pool_sorted_matches_banded(monkeypatch):
+    """GDPT_POOL_SORT=1 (morton-permute the lane pool per chunk, trace
+    extension rays unsorted) is the same estimator as the banded loop —
+    lane identity rides with the state, so only packet composition
+    changes."""
+    monkeypatch.setenv("GDPT_PACKET", "1")
+    sc = presets.cornell_box(width=16, height=16, spp=3, max_depth=4,
+                             force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = path_soa.render_soa(sc, spp=3, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    monkeypatch.setenv("GDPT_POOL_SORT", "1")
+    b = path_soa.render_soa(sc, spp=3, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
