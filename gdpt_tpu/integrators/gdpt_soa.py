@@ -16,6 +16,7 @@ an (N,) component-array op on full VPU lanes. Cost per bounce is
 probe/replay rays), exactly like the reference's 5-path estimator.
 """
 
+import os as _os
 from functools import partial
 from typing import NamedTuple
 
@@ -259,9 +260,10 @@ def _gdpt_bounce(static, sc: ps.SceneSoA, used, seed, s):
     survive = (~do_rr) | (u_rr <= rr_prob)
     # Inactive lanes become dead rays (tfar < tnear): traversal
     # backends exit them immediately instead of tracing stale rays.
+    pool_sorted = _os.environ.get("GDPT_POOL_SORT", "0") == "1"
     nxt_hit, nxt_gn = trs.intersect_soa_gn(
         static, sc.geom, base_v.position, samp.dir_out, eps_isect,
-        jnp.where(extend, BIG, -1.0)
+        jnp.where(extend, BIG, -1.0), sort_rays=not pool_sorted
     )
     nxt = ps.shade_hit(static, sc, base_v.position, samp.dir_out,
                        nxt_hit, nxt_gn)
@@ -350,8 +352,12 @@ def _gdpt_bounce(static, sc: ps.SceneSoA, used, seed, s):
                 + [a["o_samp"].dir_out for a in offA])
     btfar = cat([a["probe_tfar"] for a in offA]
                 + [a["rep_tfar"] for a in offA])
+    # Pool-sorted mode: the 8 concatenated n-lane probe/replay groups
+    # are each pool-coherent and packet-aligned (n is a pool multiple
+    # of the packet quantum), so the in-trace argsort is redundant.
     bhit, bgn = trs.intersect_soa_gn(
-        static, sc.geom, borg, bdir, eps_isect, btfar)
+        static, sc.geom, borg, bdir, eps_isect, btfar,
+        sort_rays=not pool_sorted)
 
     def part(i):
         sl = slice(i * n, (i + 1) * n)
@@ -572,6 +578,30 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _gdpt_pool_sort(st, tab):
+    """Morton-permute the 5-path lane pool (see path_soa._pool_sort):
+    key = current base vertex position + incoming direction octant.
+    pending permutes WITH the lanes (it is per-lane bookkeeping)."""
+    from gdpt_tpu.accel import packet_trace as pt
+
+    s = st["lane"]
+    keys = pt._morton_keys(tab, s["base_v"].position, s["base_d"])
+    keys = jnp.where(s["active"] > 0, keys, jnp.int32(2 ** 30))
+    perm = jnp.argsort(keys)
+
+    def take(a):
+        return jnp.take(a, perm, axis=0)
+
+    lane = {k: (v if k == "rays"
+                else jax.tree_util.tree_map(take, v))
+            for k, v in s.items()}
+    out = dict(st)
+    out["lane"] = lane
+    out["pending"] = take(st["pending"])
+    return out
+
+
 @partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
 def _gdpt_wavefront_chunk(static, camera, st, sc, k_iters):
     # sc rides OUTSIDE the donated state (donation would delete the
@@ -631,7 +661,11 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
     host_acc = np.zeros((n_pix, 18), np.float64)
     drain_step = n_pix * 64
     last_drain = 0
+    pool_sort = (_os.environ.get("GDPT_POOL_SORT", "0") == "1"
+                 and sc.geom.packet is not None)
     while True:
+        if pool_sort:
+            st = _gdpt_pool_sort(st, sc.geom.packet)
         st = _gdpt_wavefront_chunk(static, camera, st, sc, k_iters)
         ni = int(st["next_item"])
         if (ni >= total

@@ -13,6 +13,7 @@ across null surfaces x null collisions inside a segment) — all
 ``lax.while_loop``s over (N,) component arrays with f32 masks.
 """
 
+import os as _os
 from functools import partial
 
 import jax
@@ -382,9 +383,10 @@ def _vol_bounce(static, sc: ps.SceneSoA, media, seed, s):
         active = s["active"] > 0
         # Inactive lanes become dead rays (tfar < tnear): traversal
         # backends exit them immediately instead of tracing stale rays.
+        pool_sorted = _os.environ.get("GDPT_POOL_SORT", "0") == "1"
         hit, gn_raw = trs.intersect_soa_gn(
             static, sc.geom, s["org"], s["d"], 0.0,
-            jnp.where(active, BIG, -1.0))
+            jnp.where(active, BIG, -1.0), sort_rays=not pool_sorted)
         v = ps.shade_hit(static, sc, s["org"], s["d"], hit, gn_raw)
         v_ok = v.valid > 0
         in_medium = s["medium"] >= 0
@@ -678,6 +680,29 @@ def _vol_wavefront_body(static, camera, sc, media, st):
     )
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _vol_pool_sort(st, tab):
+    """Morton-permute the volumetric lane pool (see
+    path_soa._pool_sort); pending permutes with the lanes."""
+    from gdpt_tpu.accel import packet_trace as pt
+
+    s = st["lane"]
+    keys = pt._morton_keys(tab, s["org"], s["d"])
+    keys = jnp.where(s["active"] > 0, keys, jnp.int32(2 ** 30))
+    perm = jnp.argsort(keys)
+
+    def take(a):
+        return jnp.take(a, perm, axis=0)
+
+    lane = {k: (v if k == "rays"
+                else jax.tree_util.tree_map(take, v))
+            for k, v in s.items()}
+    out = dict(st)
+    out["lane"] = lane
+    out["pending"] = take(st["pending"])
+    return out
+
+
 @partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
 def _vol_wavefront_chunk(static, camera, st, sc, media, k_iters):
     # sc/media ride OUTSIDE the donated state (donation would delete the
@@ -730,7 +755,11 @@ def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
     host_acc = np.zeros((n_pix, 3), np.float64)
     drain_step = n_pix * 64
     last_drain = 0
+    pool_sort = (_os.environ.get("GDPT_POOL_SORT", "0") == "1"
+                 and sc.geom.packet is not None)
     while True:
+        if pool_sort:
+            st = _vol_pool_sort(st, sc.geom.packet)
         st = _vol_wavefront_chunk(static, camera, st, sc, media, k_iters)
         ni = int(st["next_item"])
         if (ni >= total

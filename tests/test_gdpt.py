@@ -209,3 +209,19 @@ def test_gdpt_wavefront_matches_banded(monkeypatch):
     monkeypatch.setenv("GDPT_WAVEFRONT", "1")
     b = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
+
+
+def test_gdpt_wavefront_pool_sorted_matches_banded(monkeypatch):
+    """GDPT_POOL_SORT=1 permutes the 5-path lane pool per chunk and
+    traces base/probe rays unsorted; estimator-identical to banded."""
+    from gdpt_tpu.integrators import gdpt_soa
+
+    monkeypatch.setenv("GDPT_PACKET", "1")
+    sc = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
+                             integrator="gradpath", force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    monkeypatch.setenv("GDPT_POOL_SORT", "1")
+    b = gdpt_soa.render_gradpath_soa(sc, spp=3, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
