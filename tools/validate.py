@@ -87,8 +87,21 @@ def main():
     from gdpt_tpu.integrators import render as R
     from gdpt_tpu.scene import parser
 
+    cache_dir = os.environ.get("GDPT_VALIDATE_CACHE", "")
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
     def render_scene(scene, spp_override=None, seed=0, alpha_override=None,
-                     integrator_override=None):
+                     integrator_override=None, cache_key=None):
+        # Optional render cache (GDPT_VALIDATE_CACHE=dir): these CPU
+        # renders cost up to an hour each; a crash or interrupt should
+        # not re-pay completed rows. Keyed by caller-provided tag only —
+        # clear the dir after estimator-affecting changes.
+        path = (os.path.join(cache_dir, f"{cache_key}.npy")
+                if cache_dir and cache_key else None)
+        if path and os.path.exists(path):
+            print(f"cache hit: {cache_key}", flush=True)
+            return np.load(path)
         kw = {}
         if alpha_override is not None:
             kw["gdpt_alpha"] = alpha_override
@@ -96,7 +109,10 @@ def main():
             kw["integrator"] = integrator_override
         if kw:
             scene = _with_options(scene, **kw)
-        return R.render(scene, spp=spp_override, seed=seed)
+        img = np.asarray(R.render(scene, spp=spp_override, seed=seed))
+        if path:
+            np.save(path, img)
+        return img
 
     results = {}
     t_all = time.time()
@@ -107,7 +123,8 @@ def main():
     ours = {}
     for spp in (1, 4, 16, 512):
         t0 = time.time()
-        img = np.asarray(render_scene(scene, spp_override=spp, seed=7))
+        img = render_scene(scene, spp_override=spp, seed=7,
+                           cache_key=f"cbox_path_{spp}_s7")
         ours[spp] = img
         print(f"cbox path {spp} spp: {time.time()-t0:.1f}s "
               f"mean {img.mean():.5f}", flush=True)
@@ -152,8 +169,9 @@ def main():
     ours_sp = {}
     for spp in (1, 4, 16):
         t0 = time.time()
-        img = np.asarray(render_scene(sp, spp_override=spp, seed=3,
-                                      integrator_override="path"))
+        img = render_scene(sp, spp_override=spp, seed=3,
+                           integrator_override="path",
+                           cache_key=f"sponza_path_{spp}_s3")
         ours_sp[spp] = img
         print(f"sponza path {spp} spp: {time.time()-t0:.1f}s "
               f"mean {img.mean():.5f}", flush=True)
@@ -175,8 +193,9 @@ def main():
     # are dominated by reconstruction noise (see the 1/4-spp history in
     # git), so the meaningful rows are 16-spp equal and 16-vs-256.
     t0 = time.time()
-    img_gp = np.asarray(render_scene(sp, spp_override=16, seed=5,
-                                     integrator_override="gradpath"))
+    img_gp = render_scene(sp, spp_override=16, seed=5,
+                          integrator_override="gradpath",
+                          cache_key="sponza_gradpath_16_s5")
     print(f"sponza gradpath 16 spp: {time.time()-t0:.1f}s "
           f"mean {img_gp.mean():.5f}", flush=True)
     for tag, refp in (
