@@ -89,9 +89,13 @@ def bench_config(name, make_scene, spp, sol=None):
         "platform": jax.devices()[0].platform,
     }
     srow = (sol or {}).get(name, {})
-    if srow.get("sol_kernel_inc_mrays"):
-        detail["mfu_est"] = round(mrays / srow["sol_kernel_inc_mrays"], 3)
-        detail["sol_kernel_inc_mrays"] = srow["sol_kernel_inc_mrays"]
+    # Prefer the harvested bounce-ray SOL (honest in-render workload);
+    # fall back to the synthetic incoherent batch.
+    sol_ref = (srow.get("sol_kernel_bounce_mrays")
+               or srow.get("sol_kernel_inc_mrays"))
+    if sol_ref:
+        detail["mfu_est"] = round(mrays / sol_ref, 3)
+        detail["sol_kernel_mrays"] = sol_ref
         if "kernel_floor_frac" in srow:
             detail["kernel_floor_frac"] = srow["kernel_floor_frac"]
     row = {
@@ -133,6 +137,9 @@ def main():
         ("volpath_test6", xml("volpath_test/volpath_test6.xml"), 16),
         ("sponza_gradpath", xml("sponza/sponza.xml"), 4),
     ]
+    only = [s for s in os.environ.get("GDPT_BENCH_ONLY", "").split(",") if s]
+    if only:
+        configs = [c for c in configs if any(o in c[0] for o in only)]
     results = {}
     sol = _load_sol()
     for name, make_scene, spp in configs:
