@@ -24,21 +24,28 @@ _REF = os.environ.get("GDPT_REFERENCE", "/root/reference")
 SCENES = {
     "sponza": f"{_REF}/scenes/sponza/sponza.xml",
     "disney": f"{_REF}/scenes/disney_bsdf_test/disney_bsdf.xml",
+    "volpath6": f"{_REF}/scenes/volpath_test/volpath_test6.xml",
 }
 
 
 def run(scene_path, name, spp_path=2, spp_gdpt=1):
     import numpy as np
 
-    from gdpt_tpu.integrators import gdpt_soa, path_soa
+    from gdpt_tpu.integrators import gdpt_soa, path_soa, volpath_soa
     from gdpt_tpu.scene import parser
 
     sc, _ = parser.parse_scene(scene_path)
 
-    for integ, spp, fn, wf in (
-        ("path", spp_path, path_soa.render_soa, path_soa.render_soa_wavefront),
-        ("gradpath", spp_gdpt, gdpt_soa.render_gradpath_soa, None),
-    ):
+    if sc.static.options.integrator == "volpath":
+        combos = (("volpath", spp_path, volpath_soa.render_volpath_soa,
+                   None),)
+    else:
+        combos = (
+            ("path", spp_path, path_soa.render_soa,
+             path_soa.render_soa_wavefront),
+            ("gradpath", spp_gdpt, gdpt_soa.render_gradpath_soa, None),
+        )
+    for integ, spp, fn, wf in combos:
         for mode in ("banded", "wavefront"):
             os.environ["GDPT_WAVEFRONT"] = "0" if mode == "banded" else "1"
             t0 = time.perf_counter()
@@ -60,6 +67,12 @@ def run(scene_path, name, spp_path=2, spp_gdpt=1):
                                   "last_occupancy", None)
                     row["iterations"] = getattr(
                         gdpt_soa._gdpt_wavefront_accum, "last_iters", None)
+                if integ == "volpath":
+                    occ = getattr(volpath_soa._vol_wavefront_accum,
+                                  "last_occupancy", None)
+                    row["iterations"] = getattr(
+                        volpath_soa._vol_wavefront_accum, "last_iters",
+                        None)
                 if occ is not None:
                     row["occupancy"] = round(occ, 4)
             print(json.dumps(row), flush=True)
