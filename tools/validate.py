@@ -145,9 +145,19 @@ def main():
 
     sc_gdpt, _ = parser.parse_scene(f"{REF}/scenes/cbox/cbox_gdpt.xml")
     t0 = time.time()
-    _, aux = gdpt_soa.render_gradpath_soa(sc_gdpt, spp=64, seed=11,
-                                          return_aux=True)
-    print(f"cbox gdpt buffers (64 spp): {time.time()-t0:.1f}s", flush=True)
+    aux_path = (os.path.join(cache_dir, "cbox_gdpt_aux_64_s11.npz")
+                if cache_dir else None)
+    if aux_path and os.path.exists(aux_path):
+        aux = dict(np.load(aux_path))
+        print("cache hit: cbox_gdpt_aux_64_s11", flush=True)
+    else:
+        _, aux = gdpt_soa.render_gradpath_soa(sc_gdpt, spp=64, seed=11,
+                                              return_aux=True)
+        if aux_path:
+            np.savez(aux_path, primal=aux["primal"], gx=aux["gx"],
+                     gy=aux["gy"])
+        print(f"cbox gdpt buffers (64 spp): {time.time()-t0:.1f}s",
+              flush=True)
     for alpha in (0.04, 0.4, 4.0, 40.0):
         ref = imread(f"{REF}/gdpt_renders/tmp_gdpt_{alpha:g}.exr")
         img = np.asarray(poisson.screened_poisson_solve(
