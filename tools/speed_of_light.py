@@ -186,24 +186,41 @@ def _ray_batches_primary(scene, m):
     return coh, n
 
 
+# Chain K traversals inside ONE dispatch: the axon tunnel adds tens of
+# ms of per-dispatch RPC latency, so a single 1M-ray call measures
+# latency, not the kernel (symptom: brute-scene "SOL" below the fused
+# in-render throughput, mfu_est > 1). The tmin perturbation depends on
+# the carry so XLA's while-loop invariant code motion cannot hoist the
+# traversal out of the loop; it never changes any hit (t >= 1e-4 > eps).
+SOL_CHAIN_K = 8
+
+
 def _timed_mrays(static, g, org, d, m):
     import jax
+    import jax.numpy as jnp
 
     from gdpt_tpu.accel import traverse_soa as trs
     from gdpt_tpu.core.dtypes import BIG
 
-    def run():
-        hit, _ = trs.intersect_soa_gn(static, g, org, d, 1e-4, BIG)
-        return hit.t
+    import functools
 
-    out = run()
-    jax.block_until_ready(out)
+    @functools.partial(jax.jit, static_argnums=())
+    def run():
+        def body(_, acc):
+            eps = 1e-20 * acc  # carry-dependent, numerically ~0
+            hit, _ = trs.intersect_soa_gn(static, g, org, d,
+                                          1e-4 + eps, BIG)
+            return acc + hit.t[0]
+        return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
+                                 jnp.float32(0.0))
+
+    jax.block_until_ready(run())
     best = 1e30
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return m / best / 1e6
+    return m * SOL_CHAIN_K / best / 1e6
 
 
 def _timed_occluded_mrays(static, g, org, d, m):
@@ -213,18 +230,23 @@ def _timed_occluded_mrays(static, g, org, d, m):
     from gdpt_tpu.accel import traverse_soa as trs
     from gdpt_tpu.core.dtypes import BIG
 
+    @jax.jit
     def run():
-        return trs.occluded_soa(static, g, org, d, 1e-4,
-                                jnp.full(m, BIG))
+        def body(_, acc):
+            eps = 1e-20 * acc
+            occ = trs.occluded_soa(static, g, org, d, 1e-4 + eps,
+                                   jnp.full(m, BIG))
+            return acc + occ[0].astype(jnp.float32)
+        return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
+                                 jnp.float32(0.0))
 
-    out = run()
-    jax.block_until_ready(out)
+    jax.block_until_ready(run())
     best = 1e30
     for _ in range(3):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return m / best / 1e6
+    return m * SOL_CHAIN_K / best / 1e6
 
 
 def measure_kernels():
