@@ -59,10 +59,10 @@ def _backend_alive(timeout_s=75):
 def _load_sol():
     """SOL.json: per-config traversal speed-of-light measurements
     (tools/speed_of_light.py). mfu_est = achieved in-render Mrays/s
-    divided by the standalone intersect-only throughput of the scene's
-    traversal backend on incoherent rays on this chip — the fraction of
-    the empirical hardware ceiling the full render achieves (model
-    documented in README and tools/speed_of_light.py)."""
+    divided by the config's traversal ceiling: the VPU compute
+    roofline for brute scenes, the measured standalone packet kernel
+    on harvested bounce rays for BVH scenes (model documented in
+    README and tools/speed_of_light.py)."""
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "SOL.json")
     if os.path.exists(path):
@@ -89,13 +89,20 @@ def bench_config(name, make_scene, spp, sol=None):
         "platform": jax.devices()[0].platform,
     }
     srow = (sol or {}).get(name, {})
-    # Prefer the harvested bounce-ray SOL (honest in-render workload);
-    # fall back to the synthetic incoherent batch.
-    sol_ref = (srow.get("sol_kernel_bounce_mrays")
+    # Ceiling choice: brute scenes use the compute roofline (measured
+    # VPU peak / intersection flops per ray) — the standalone brute
+    # dispatch is HBM-streaming-bound and can sit BELOW the fused
+    # render, which made mfu_est > 1. Packet scenes use the measured
+    # standalone kernel on harvested bounce rays (honest workload);
+    # synthetic incoherent is the fallback.
+    sol_ref = (srow.get("sol_flop_floor_mrays")
+               or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
     if sol_ref:
         detail["mfu_est"] = round(mrays / sol_ref, 3)
-        detail["sol_kernel_mrays"] = sol_ref
+        detail["sol_ceiling_mrays"] = sol_ref
+        if "sol_kernel_bounce_mrays" in srow:
+            detail["sol_kernel_mrays"] = srow["sol_kernel_bounce_mrays"]
         if "kernel_floor_frac" in srow:
             detail["kernel_floor_frac"] = srow["kernel_floor_frac"]
     row = {

@@ -56,8 +56,12 @@ MAX_TABLE_BYTES = 12 << 20   # VMEM residency cap (leave room for rays)
 PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays per packet = PACKET_ROWS * 128
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
-assert PACKET_ROWS > 0 and (PACKET_ROWS & (PACKET_ROWS - 1)) == 0, \
-    f"GDPT_PACKET_ROWS must be a power of two, got {PACKET_ROWS}"
+# The floor of 8 is hardware-imposed: ray blocks are BlockSpec((P, 128))
+# and the Mosaic lowering requires the sublane dim divisible by 8 (the
+# f32 VMEM tile is (8, 128)), so 4-row packets cannot lower on TPU —
+# measured round 4: rows=4 fails with the block-shape divisibility error.
+assert PACKET_ROWS >= 8 and (PACKET_ROWS & (PACKET_ROWS - 1)) == 0, \
+    f"GDPT_PACKET_ROWS must be a power of two >= 8 (TPU (8,128) tiling), got {PACKET_ROWS}"
 
 
 class PacketTable(NamedTuple):

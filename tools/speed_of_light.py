@@ -45,6 +45,16 @@ SCENES = os.environ.get("GDPT_SCENES", "/root/reference/scenes")
 SOL_PATH = os.path.join(REPO, "SOL.json")
 US_PER_VISIT = 0.36  # measured VPU floor of the packet visit loop
 
+# Intersection-math flop counts per (prim, ray) pair, counted from
+# traverse_soa._tri_test_rows (Moller-Trumbore: 2 crosses = 18, 4 dots
+# = 20, 3 mul-by-inv_det + 1 div + tvec sub + compares) and
+# _sphere_test_rows. These price ONLY the geometric test — argmin
+# reduction, hit combines, shading, NEE and RNG all count against the
+# render — so peak_flops / flops_per_ray is a true brute-force
+# traversal speed of light for mfu purposes.
+TRI_TEST_FLOPS = 53
+SPH_TEST_FLOPS = 45
+
 CONFIGS = [
     ("cbox_512_path", None),  # preset
     ("veach_mi", f"{SCENES}/veach_mi/mi.xml"),
@@ -249,6 +259,36 @@ def _timed_occluded_mrays(static, g, org, d, m):
     return m * SOL_CHAIN_K / best / 1e6
 
 
+def measure_vpu_peak():
+    """Measured f32 VPU peak (GFLOP/s): a chained elementwise FMA loop
+    on a VMEM-resident block. 64 unrolled FMAs per fori iteration keep
+    the HBM carry traffic (2 x 4 MiB x K) far below the compute time,
+    so the best-of-3 approaches the chip's vector f32 ceiling."""
+    import jax
+    import jax.numpy as jnp
+
+    x = (jnp.arange(1 << 20, dtype=jnp.float32) * 1e-9).reshape(1024, 1024)
+    a = jnp.float32(1.0000001)
+    b = jnp.float32(1e-7)
+    K, U = 64, 64
+
+    @jax.jit
+    def run(x):
+        def body(_, y):
+            for _ in range(U):
+                y = y * a + b
+            return y
+        return jax.lax.fori_loop(0, K, body, x)
+
+    jax.block_until_ready(run(x))
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        best = min(best, time.perf_counter() - t0)
+    return 2.0 * x.size * K * U / best / 1e9
+
+
 def measure_kernels():
     import jax
 
@@ -257,6 +297,8 @@ def measure_kernels():
     platform = jax.devices()[0].platform
     out = {}
     m = 1 << 20
+    peak_gflops = measure_vpu_peak()
+    print(json.dumps({"vpu_peak_gflops": round(peak_gflops, 1)}), flush=True)
     for name, path in CONFIGS:
         scene = _load(name, path)
         sc = ps.scene_soa_from_aos(scene)
@@ -278,6 +320,19 @@ def measure_kernels():
             "sol_kernel_shadow_mrays": round(_timed_occluded_mrays(
                 scene.static, sc.geom, *shadow, m), 2),
         }
+        if row["backend"] == "brute":
+            # The standalone brute dispatch streams (T, N) broadcasts
+            # through HBM, which the fused in-render code never
+            # materializes — so the measured standalone number is NOT
+            # the render's ceiling (it can sit BELOW the render). The
+            # honest ceiling is the compute roofline: measured VPU
+            # peak / intersection flops per ray.
+            fpr = (scene.static.n_tris * TRI_TEST_FLOPS
+                   + scene.static.n_spheres * SPH_TEST_FLOPS)
+            row["flops_per_ray"] = fpr
+            row["vpu_peak_gflops"] = round(peak_gflops, 1)
+            row["sol_flop_floor_mrays"] = round(
+                peak_gflops * 1e3 / fpr, 2)
         out[name] = row
         print(json.dumps({"config": name, **row}), flush=True)
     return out
