@@ -411,16 +411,30 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
 _VISITS_PER_ITER = 2  # stack visits unrolled per while iteration
 
 
-def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
+def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
+                 masked_push=True):
     """One packet per grid step. The kernel reports only (t, prim): the
     hit's u/v/geometric normal are recomputed outside from one XLA
     gather of the winning primitive, so the leaf loop carries two VMEM
     read-modify-writes instead of seven. Two stack visits run per while
-    iteration to halve the loop's fixed cost (cond eval, carry)."""
+    iteration to halve the loop's fixed cost (cond eval, carry).
+
+    masked_push (opt-in, GDPT_PACKET_MASKSTACK=1): a super visit
+    stores ONE (row, child-mask) stack entry — two scalar stores —
+    and each later step peels one child bit (ctz) and visits it in
+    the same step, replacing the legacy 16-deep dependent scalar
+    store+add push chain. Node visit counts and order are identical
+    in both schemes. MEASURED SLOWER on TPU v5e (sponza standalone:
+    4.41/1.53 coh/inc Mrays vs legacy 5.66/2.34, 2026-08-18): the
+    per-peel child extract (dynamic row read + 7 rolls + VMEM
+    scratch roundtrip to scalarize) sits on every step's critical
+    path, costing more than the store chain it removed. Kept as a
+    documented negative result / A-B knob."""
 
     def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf, rref,
-               t_o, prim_o, wscr, stk, spr):
+               t_o, prim_o, wscr, stk, stkm, spr):
         import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
 
         P = PACKET_ROWS
         R = n_rows
@@ -433,6 +447,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
         # starts packets at a subtree entry; 0 = whole-table root).
         # Every lane of the packet carries the same ref; [0,0] stands in.
         stk[0] = rref[0, 0]
+        stkm[0] = jnp.int32(0)
 
         def or_scalar(w):
             from jax.experimental.pallas import tpu as pltpu
@@ -451,6 +466,10 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
         inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
                  1.0 / jnp.where(d.y == 0, 1e-20, d.y),
                  1.0 / jnp.where(d.z == 0, 1e-20, d.z))
+        # Slab tests in FMA form: t = bound*inv - org*inv, with org*inv
+        # hoisted per packet — one fused op per plane instead of
+        # sub-then-mul (~96 fewer vector ops per super visit).
+        oinv = V3(org.x * inv.x, org.y * inv.y, org.z * inv.z)
         tnear = tn[...]
         # Packet-representative direction signs for the ordered push:
         # lane (0,0) stands in for the packet (morton sort groups rays
@@ -458,19 +477,19 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
         # reads at static indices are free.
         sx, sy, sz = dx[0, 0], dy[0, 0], dz[0, 0]
 
-        def visit_super(srow, sp):
+        def super_mask(srow):
             row_i = tab_ref[srow, :]
             rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
             best = t_o[...]
             bits = jnp.zeros((P, 128), jnp.int32)
             for k in range(16):
                 b = k * 6
-                t0x = (rowf[b + 0] - org.x) * inv.x
-                t1x = (rowf[b + 3] - org.x) * inv.x
-                t0y = (rowf[b + 1] - org.y) * inv.y
-                t1y = (rowf[b + 4] - org.y) * inv.y
-                t0z = (rowf[b + 2] - org.z) * inv.z
-                t1z = (rowf[b + 5] - org.z) * inv.z
+                t0x = rowf[b + 0] * inv.x - oinv.x
+                t1x = rowf[b + 3] * inv.x - oinv.x
+                t0y = rowf[b + 1] * inv.y - oinv.y
+                t1y = rowf[b + 4] * inv.y - oinv.y
+                t0z = rowf[b + 2] * inv.z - oinv.z
+                t1z = rowf[b + 5] * inv.z - oinv.z
                 t_in = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x),
                                 jnp.minimum(t0y, t1y)),
@@ -481,14 +500,38 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
                     jnp.minimum(jnp.maximum(t0z, t1z), best))
                 bits = bits | jnp.where(t_in <= t_out,
                                         jnp.int32(1 << k), 0)
-            mask = or_scalar(bits) & tab_ref[srow, 120]
-            # Ordered push: children sit in the row sorted ascending by
-            # centroid along tab[srow,121]. When the packet's direction
-            # along that axis is positive the nearest child is slot 0,
-            # so slots are pushed in descending order (popped 0 first);
-            # negative direction pushes ascending.
+            return or_scalar(bits) & tab_ref[srow, 120]
+
+        def child_sign(srow):
+            # Children sit in the row sorted ascending by centroid
+            # along tab[srow,121]; positive packet direction along that
+            # axis means slot 0 is nearest.
             axis = tab_ref[srow, 121]
-            sgn = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+            return jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+        def visit_super(srow, keep_at):
+            """Masked scheme: compute the hit-children mask and store it
+            as ONE (row|rev<<30, mask) entry at keep_at. The mask is
+            bit-reversed when the packet travels against the sort axis,
+            so peeling ctz-first always visits near-to-far."""
+            mask = super_mask(srow)
+            sgn = child_sign(srow)
+            rev = (sgn <= 0).astype(jnp.int32)
+            rm = mask
+            rm = ((rm & 0x5555) << 1) | ((rm >> 1) & 0x5555)
+            rm = ((rm & 0x3333) << 2) | ((rm >> 2) & 0x3333)
+            rm = ((rm & 0x0F0F) << 4) | ((rm >> 4) & 0x0F0F)
+            rm = ((rm & 0x00FF) << 8) | ((rm >> 8) & 0x00FF)
+            tmask = jnp.where(rev == 1, rm, mask)
+            at = jnp.minimum(keep_at, stack_n - 1)
+            stk[at] = srow | (rev << 30)
+            stkm[at] = tmask
+            spr[0] = jnp.minimum(
+                keep_at + jnp.where(tmask != 0, 1, 0), stack_n - 1)
+
+        def visit_super_legacy(srow, sp):
+            mask = super_mask(srow)
+            sgn = child_sign(srow)
 
             def push(ks):
                 sp2 = sp
@@ -570,24 +613,89 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows):
 
         def step(sp_c):
             """One visit; next stack pointer lands in spr[0]."""
+            if not masked_push:
+                sp = sp_c - 1
+                node = stk[sp]
+                is_super = node >= 0
+                # Clamped for BOTH interpretations: an out-of-range
+                # VMEM access can wedge the device.
+                srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+                lrow = jnp.clip(
+                    jnp.where(is_super, 0, ~node)
+                    & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+                spr[0] = sp
+
+                @pl.when(is_super)
+                def _():
+                    visit_super_legacy(srow, sp)
+
+                @pl.when(jnp.logical_not(is_super))
+                def _():
+                    visit_leaf(lrow)
+                return
+
+            # Masked scheme. Top-of-stack entry e, pending mask m:
+            #   A: e <  0          -> leaf entry: visit it, pop.
+            #   B: e >= 0, m == 0  -> unvisited super (root/entry ref):
+            #      compute its mask in place at sp.
+            #   C: e >= 0, m != 0  -> peel one child near-first; a leaf
+            #      child is visited in this same step, a super child
+            #      gets its first visit at the (possibly reused) top.
+            # Every step visits exactly one node, so visit counts and
+            # the iteration ceiling match the legacy scheme.
             sp = sp_c - 1
-            node = stk[sp]
-            is_super = node >= 0
-            # Clamped for BOTH interpretations: an out-of-range
-            # VMEM access can wedge the device.
-            srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
-            lrow = jnp.clip(
-                jnp.where(is_super, 0, ~node)
-                & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
-            spr[0] = sp
+            e = stk[sp]
+            m = stkm[sp]
+            case_a = e < 0
+            case_c = (e >= 0) & (m != 0)
+            # Peel lowest set bit of m (slot order already near-first).
+            iso = m & (0 - m)
+            m2 = m & (m - 1)
+            k = (jnp.where((iso & 0xAAAA) != 0, 1, 0)
+                 | jnp.where((iso & 0xCCCC) != 0, 2, 0)
+                 | jnp.where((iso & 0xF0F0) != 0, 4, 0)
+                 | jnp.where((iso & 0xFF00) != 0, 8, 0))
+            rev = (e >> 30) & 1
+            slot = jnp.where(rev == 1, 15 - k, k)
+            erow = jnp.clip(e & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+            # Child ref lives at lane 96+slot of the parent's table row.
+            # Mosaic cannot index the lane dim dynamically, so extract
+            # it with a masked or-reduce over the row (~9 vector ops on
+            # (1,128) — noise next to the 16 slab tests it feeds). An
+            # SMEM mirror of table[:, 96:112] was tried first: SMEM
+            # windows lane-pad 16 -> 128, blowing the 1 MiB budget 8x
+            # on sponza-sized tables.
+            erowv = tab_ref[erow, :].reshape(1, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            sel = jnp.where(lane == 96 + slot, erowv, 0)
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                sel = sel | pltpu.roll(sel, sh, axis=1)
+            wscr[0:1, :] = sel
+            child = wscr[0, 0]
+            # After a peel the parent keeps its slot only while bits
+            # remain; the freed slot is reused for a super child.
+            base = sp + jnp.where(m2 != 0, 1, 0)
+            node = jnp.where(case_c, child, e)
+            is_leaf = node < 0
+            lrow = jnp.clip(jnp.where(is_leaf, ~node, 0)
+                            & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+            srow = jnp.clip(jnp.where(is_leaf, 0, node)
+                            & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+            keep_at = jnp.where(case_c, base, sp)
 
-            @pl.when(is_super)
+            @pl.when(case_c)
             def _():
-                visit_super(srow, sp)
+                stkm[sp] = m2
 
-            @pl.when(jnp.logical_not(is_super))
+            @pl.when(is_leaf)
             def _():
+                # case A pops; case C's leaf child leaves base entries.
+                spr[0] = jnp.where(case_a, sp, base)
                 visit_leaf(lrow)
+
+            @pl.when(jnp.logical_not(is_leaf))
+            def _():
+                visit_super(srow, keep_at)
 
         def body(carry):
             it, sp = carry
@@ -631,7 +739,13 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
     grid = (M // P,)
     ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
-    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R)
+    # A/B knob (process-level, read at trace time like GDPT_PACKET_SORT):
+    # GDPT_PACKET_MASKSTACK=1 opts into the masked-stack scheme, which
+    # measured 20-35% slower than the legacy ordered push (see
+    # _make_kernel docstring) — legacy is the default.
+    masked = os.environ.get("GDPT_PACKET_MASKSTACK", "0") == "1"
+    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R,
+                        masked_push=masked)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
                  jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     if rref is None:
@@ -645,6 +759,7 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
         scratch_shapes=[
             pltpu.VMEM((P, 128), jnp.int32),
             pltpu.SMEM((stack_n,), jnp.int32),
+            pltpu.SMEM((stack_n,), jnp.int32),  # pending child masks
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
