@@ -86,49 +86,29 @@ CONFIGS = [
      "disney_diffuse.xml",
      _bsdf("disneydiffuse", baseColor="0.82 0.67 0.16", roughness="1.0",
            subsurface="0.5")),
-    # -- simple_sphere scenes (512x512, brute-force, 64 spp) ------------
-    ("sphere_lambertian", "simple_sphere_lambertian.exr", "simple_sphere.xml",
-     _bsdf("diffuse", reflectance="0.5 0.5 0.5")),
-    ("sphere_base_diffuse", "simple_sphere_base_diffuse.exr",
-     "simple_sphere.xml",
-     _bsdf("disneydiffuse", baseColor="0.5 0.5 0.5", roughness="1.0",
-           subsurface="0.0")),
-    ("sphere_subsurface_0.5", "simple_sphere_test_subsurface_0.5.exr",
-     "simple_sphere.xml",
-     _bsdf("disneydiffuse", baseColor="0.5 0.5 0.5", roughness="1.0",
-           subsurface="0.5")),
-    ("sphere_subsurface_1.0", "simple_sphere_sub_surface_diffuse.exr",
-     "simple_sphere.xml",
-     _bsdf("disneydiffuse", baseColor="0.5 0.5 0.5", roughness="1.0",
-           subsurface="1.0")),
-    ("sphere_rough_plastic", "simple_sphere_rough_plastic.exr",
-     "simple_sphere.xml",
-     _bsdf("roughplastic", diffuseReflectance="0.0 0.0 0.0",
-           roughness="0.5")),
-    ("sphere_clearcoat_0.5", "simple_sphere_disney_clearcoat_gloss_0.5.exr",
-     "simple_sphere.xml", _bsdf("disneyclearcoat", clearcoatGloss="0.5")),
-    ("sphere_metal_r0.05", "simple_sphere_disney_metal_0.05.exr",
-     "simple_sphere.xml",
-     _bsdf("disneymetal", baseColor="0.5 0.5 0.5", roughness="0.05",
-           anisotropic="0.5")),
-    ("sphere_metal_r0.2", "simple_sphere_disney_metal_0.2.exr",
-     "simple_sphere.xml",
-     _bsdf("disneymetal", baseColor="0.5 0.5 0.5", roughness="0.2",
-           anisotropic="0.5")),
-    ("sphere_metal_r0.5", "simple_sphere_disney_metal_0.5.exr",
-     "simple_sphere.xml",
-     _bsdf("disneymetal", baseColor="0.5 0.5 0.5", roughness="0.5",
-           anisotropic="0.5")),
-    ("sphere_metal_r1.0", "simple_sphere_disney_metal_1.0.exr",
-     "simple_sphere.xml",
-     _bsdf("disneymetal", baseColor="0.5 0.5 0.5", roughness="1.0",
-           anisotropic="0.5")),
+    # NOTE: the simple_sphere_*.exr artifacts (lambertian, base_diffuse,
+    # subsurface, rough_plastic, clearcoat, metal sweep) are NOT
+    # reproducible from the committed tree and are intentionally skipped.
+    # Measured 2026-08-18 (TPU): with the committed in-frame light
+    # (center (0,1,-1), radiance 5000, simple_sphere.xml:44-51) our
+    # lambertian render's mean is 282x the artifact's; with the
+    # commented-out alternative center (10,0,0) it is 0.62x — the
+    # artifacts were rendered with a third, unrecorded light setup, and
+    # the per-artifact ref means (0.13 diffuse vs 2.54 metal) are
+    # mutually inconsistent under any single placement. Those BSDFs are
+    # instead covered by the internal Jacobian-consistency and golden
+    # tests (tests/test_materials.py, tests/test_goldens.py).
 ]
 
 
-def patch_scene(xml_path, bsdf_spec, out_path):
+def patch_scene(xml_path, bsdf_spec, out_path, light_center=None):
     """Write a copy of xml_path with the first shape's BSDF replaced and
-    every relative filename absolutized (the copy lives in /tmp)."""
+    every relative filename absolutized (the copy lives in /tmp).
+    light_center ("x y z"): move the emitter sphere's center — the
+    committed simple_sphere.xml has the radiance-5000 light IN FRAME at
+    (0,1,-1), but every simple_sphere_* artifact has mean ~0.1-2.5, which
+    only matches the commented-out alternative center (10,0,0)
+    (simple_sphere.xml:45) that parks the light off-screen."""
     base = os.path.dirname(os.path.abspath(xml_path))
     tree = ET.parse(xml_path)
     root = tree.getroot()
@@ -137,6 +117,12 @@ def patch_scene(xml_path, bsdf_spec, out_path):
             v = s.get("value")
             if not os.path.isabs(v):
                 s.set("value", os.path.normpath(os.path.join(base, v)))
+    if light_center is not None:
+        cx, cy, cz = light_center.split()
+        for shape in root.findall("shape"):
+            if shape.find("emitter") is not None:
+                pt = shape.find("point")
+                pt.set("x", cx), pt.set("y", cy), pt.set("z", cz)
     if bsdf_spec is not None:
         kind, params = bsdf_spec
         shape = root.find("shape")
@@ -174,7 +160,9 @@ def main():
             continue
         ref = imread(f"{X}/{artifact}")
         tmp = f"/tmp/val_{key}.xml"
-        patch_scene(f"{D}/{scene_file}", bsdf_spec, tmp)
+        patch_scene(f"{D}/{scene_file}", bsdf_spec, tmp,
+                    light_center="10 0 0" if key.startswith("sphere_")
+                    else None)
         scene, _ = parser.parse_scene(tmp)
         spp = 64 if scene.static.width > 512 else None  # matpreview: cap cost
         t0 = time.time()
@@ -202,7 +190,12 @@ def main():
              "(tools/validate_disney.py CONFIGS). Skipped as unmappable:",
              "disney_sheen_sphere*.exr (means 5000/12.9/0.0 — broken or",
              "pre-fix experiments), *_top_light subsurface variants (light",
-             "position not recorded anywhere in the tree).\n",
+             "position not recorded anywhere in the tree), and ALL",
+             "simple_sphere_* artifacts — neither the committed in-frame",
+             "light (our mean 282x ref) nor the commented-out (10,0,0)",
+             "placement (0.62x) reproduces them, and the artifacts'",
+             "own means are mutually inconsistent under any single",
+             "light setup (see CONFIGS note).\n",
              "| config | spp | rmse | mean ours | mean ref | ratio |",
              "|---|---|---|---|---|---|"]
     for k, m in results.items():
