@@ -52,7 +52,13 @@ _EMPTY = np.int32(2**31 - 1)
 _DEBUG_CEILING = 0  # test hook: hard iteration cap (0 = scene-derived)
 LEAF_TRIS = 12           # per leaf row: 12*9 geometry + 12 prim ids = 120
 _CHAIN_SHIFT = 22        # leaf ref: start | (n_rows << 22)
-MAX_TABLE_BYTES = 12 << 20   # VMEM residency cap (leave room for rays)
+# VMEM residency cap for the table (leave room for ray blocks, outputs
+# and scratch — all tiny next to it). v5e has 128 MiB VMEM/core; tables
+# past the cap fall back to the super16 HBM-gather walk, which measured
+# ~25x slower on disney_bsdf_array (734k tris). Env-overridable for
+# sweeps.
+MAX_TABLE_BYTES = int(__import__("os").environ.get(
+    "GDPT_MAX_TABLE_MB", "96")) << 20
 PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays per packet = PACKET_ROWS * 128
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
@@ -750,12 +756,19 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
                  jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     if rref is None:
         rref = jnp.zeros((M, 128), jnp.int32)
+    # Mosaic's default scoped-VMEM budget is 16 MiB; big-scene tables
+    # (e.g. disney_bsdf_array: 108k rows = 53 MiB) are still far under
+    # the v5e 128 MiB VMEM, so raise the per-kernel limit to the table
+    # plus headroom for ray blocks/outputs/scratch.
+    vmem_limit = min(int(tab.table.nbytes) + (8 << 20), 120 << 20)
     f = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [ray_spec] * 9,
         out_specs=[ray_spec] * 2,
         out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(vmem_limit, 32 << 20)),
         scratch_shapes=[
             pltpu.VMEM((P, 128), jnp.int32),
             pltpu.SMEM((stack_n,), jnp.int32),

@@ -1059,7 +1059,7 @@ def _wavefront_chunk(static, camera, st, sc, k_iters):
 
 
 def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
-                         pool=None, k_iters=8):
+                         pool=None, k_iters=None):
     """Wavefront path render: fixed lane pool + sample regeneration.
 
     Produces the same estimate as render_soa's banded loop (identical
@@ -1079,6 +1079,18 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
             "use render_soa (banded loop) for renders this large")
     sc = scene_soa_from_aos(scene)
     from gdpt_tpu.accel import packet_trace as pt
+
+    if k_iters is None:
+        # Packet-table scenes: 8 wavefront iterations per dispatch
+        # amortize the dispatch/sync cost. Scenes whose table exceeds
+        # the VMEM cap ride the super16 HBM-gather walk, ~10-20x slower
+        # per iteration — 8 of those in one dispatch blows the axon
+        # per-dispatch watchdog (~10 s) and the worker is KILLED
+        # ("TPU worker process crashed", seen on disney_bsdf_array's
+        # 734k tris at 512x512). One iteration per dispatch keeps each
+        # dispatch bounded; the extra host syncs are noise at that
+        # per-iteration cost.
+        k_iters = 8 if sc.geom.packet is not None else 1
 
     lane_q = pt.PACKET_ROWS * 128
     if pool is None:
