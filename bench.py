@@ -143,6 +143,13 @@ def main():
         ("disney_bsdf", xml("disney_bsdf_test/disney_bsdf.xml"), 64),
         ("volpath_test6", xml("volpath_test/volpath_test6.xml"), 16),
         ("sponza_gradpath", xml("sponza/sponza.xml"), 4),
+        # Big-scene row (not a BASELINE config): 734k tris / 53 MiB
+        # packet table, VMEM-resident since the round-4 cap raise.
+        # 512x512 keeps the two bench renders (warm + timed) ~1 min.
+        ("disney_array_512",
+         lambda: parser.parse_scene(
+             f"{SCENES}/disney_bsdf_test/disney_bsdf_array.xml",
+             width=512, height=512)[0], 4),
     ]
     only = [s for s in os.environ.get("GDPT_BENCH_ONLY", "").split(",") if s]
     if only:

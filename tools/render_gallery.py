@@ -21,8 +21,11 @@ SCENES = {
     "cbox": (_SCENE_ROOT + "/cbox/cbox_old.xml", 512, 256, None),
     "veach_mi": (_SCENE_ROOT + "/veach_mi/mi.xml", None, 256, None),
     # BVH scenes ride the packet kernel now; native resolution.
+    # 16 spp: native res is 1366x1024 and the 734k-tri table traces at
+    # ~2-3 Mrays/s (VMEM-resident since the 96 MiB cap) — 64 spp would
+    # run ~an hour for a gallery image.
     "disney_array": (
-        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", None, 64, 5
+        _SCENE_ROOT + "/disney_bsdf_test/disney_bsdf_array.xml", None, 16, 5
     ),
     "matpreview": (_SCENE_ROOT + "/matpreview/matpreview.xml", None, 64, 5),
     # sponza's scene file asks for gradpath; render the path version here

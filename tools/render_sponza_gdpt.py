@@ -21,7 +21,11 @@ def main():
     from gdpt_tpu.integrators import gdpt_soa
     from gdpt_tpu.scene import parser
 
-    res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    # Default: the scene file's own (native) resolution, like the
+    # reference's gdpt_renders/sponza artifacts. An int arg renders a
+    # res x res preview instead.
+    res = (int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1] != "native"
+           else None)
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     sc, _ = parser.parse_scene(
         _SCENE_ROOT + "/sponza/sponza.xml", width=res, height=res, spp=spp
@@ -39,8 +43,9 @@ def main():
     image.imwrite("gallery/sponza_gdpt.png", recon)
     image.imwrite("gallery/sponza_gdpt_primal.png", aux["primal"])
     image.imwrite("gallery/sponza_gdpt_gx.exr", np.abs(aux["gx"]))
-    print(f"[sponza-gdpt] {res}x{res}@{spp}spp in {dt:.1f}s "
-          f"recon mean={recon.mean():.4f} primal mean={aux['primal'].mean():.4f}")
+    print(f"[sponza-gdpt] {sc.static.width}x{sc.static.height}@{spp}spp "
+          f"in {dt:.1f}s recon mean={recon.mean():.4f} "
+          f"primal mean={aux['primal'].mean():.4f}")
 
 
 if __name__ == "__main__":
