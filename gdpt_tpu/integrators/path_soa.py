@@ -115,7 +115,35 @@ def supports_soa(scene: Scene) -> bool:
     return msoa.supports_soa_materials(scene)
 
 
+# scene_soa_from_aos memo: the host-side prep (packet-table collapse,
+# alias tables, per-tri footprint constants) is pure in the scene and
+# costs seconds-to-a-minute on big scenes (108k-row disney_array), so
+# repeated renders of one scene (bench warm+timed, validation sweeps,
+# spp chunking drivers) must not rebuild it. Keyed by the device
+# pytree's identity; the strong reference in the cache keeps the id
+# valid for the entry's lifetime. Tiny FIFO — a process touches a
+# handful of scenes.
+_SOA_MEMO = {}
+_SOA_MEMO_CAP = 4
+
+
 def scene_soa_from_aos(scene: Scene) -> SceneSoA:
+    env = __import__("os").environ
+    # Backend-selection knobs are read at build time; a test that
+    # monkeypatches them must not hit a stale entry.
+    key = (id(scene.device), env.get("GDPT_PACKET", "auto"),
+           env.get("GDPT_MAX_TABLE_MB", ""))
+    hit = _SOA_MEMO.get(key)
+    if hit is not None and hit[0] is scene.device:
+        return hit[1]
+    out = _scene_soa_from_aos_uncached(scene)
+    if len(_SOA_MEMO) >= _SOA_MEMO_CAP:
+        _SOA_MEMO.pop(next(iter(_SOA_MEMO)))
+    _SOA_MEMO[key] = (scene.device, out)
+    return out
+
+
+def _scene_soa_from_aos_uncached(scene: Scene) -> SceneSoA:
     dev = scene.device
     mt = dev.materials
     env_rgb = dev.envmap.tex.value[0]
