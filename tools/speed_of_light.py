@@ -211,15 +211,22 @@ def _timed_mrays(static, g, org, d, m):
 
     from gdpt_tpu.accel import traverse_soa as trs
     from gdpt_tpu.core.dtypes import BIG
+    from gdpt_tpu.core.soa import V3
 
     import functools
 
     @functools.partial(jax.jit, static_argnums=())
     def run():
         def body(_, acc):
-            eps = 1e-20 * acc  # carry-dependent, numerically ~0
-            hit, _ = trs.intersect_soa_gn(static, g, org, d,
-                                          1e-4 + eps, BIG)
+            # Carry-dependent, numerically ~0 perturbation so XLA
+            # cannot hoist the traversal out of the loop. It rides the
+            # ray ORIGINS (traced arrays), not tnear: the brute pallas
+            # kernel's contract takes tnear as a static python scalar
+            # (pallas_intersect.py intersect_brute_pallas).
+            eps = 1e-20 * acc
+            org2 = V3(org.x + eps, org.y, org.z)
+            hit, _ = trs.intersect_soa_gn(static, g, org2, d,
+                                          1e-4, BIG)
             return acc + hit.t[0]
         return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
                                  jnp.float32(0.0))
@@ -239,12 +246,14 @@ def _timed_occluded_mrays(static, g, org, d, m):
 
     from gdpt_tpu.accel import traverse_soa as trs
     from gdpt_tpu.core.dtypes import BIG
+    from gdpt_tpu.core.soa import V3
 
     @jax.jit
     def run():
         def body(_, acc):
-            eps = 1e-20 * acc
-            occ = trs.occluded_soa(static, g, org, d, 1e-4 + eps,
+            eps = 1e-20 * acc  # anti-hoist via origins; tnear static
+            org2 = V3(org.x + eps, org.y, org.z)
+            occ = trs.occluded_soa(static, g, org2, d, 1e-4,
                                    jnp.full(m, BIG))
             return acc + occ[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
