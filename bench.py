@@ -98,6 +98,12 @@ def bench_config(name, make_scene, spp, sol=None):
     sol_ref = (srow.get("sol_flop_floor_mrays")
                or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
+    if srow.get("backend") == "brute" and "sol_flop_floor_mrays" not in srow:
+        # Brute configs without a flop-floor row would divide by the
+        # standalone kernel number, which is RPC-latency-bound and can
+        # sit BELOW the fused render (mfu > 1, meaningless). See
+        # STATUS.md round-4 SOL remeasurement finding.
+        sol_ref = None
     if sol_ref:
         detail["mfu_est"] = round(mrays / sol_ref, 3)
         detail["sol_ceiling_mrays"] = sol_ref
