@@ -16,6 +16,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 
 SCENES = _SCENE_ROOT
 
+# Per-config baseline for vs_baseline (VERDICT r04 #6: every config line
+# carries its own ratio so regressions are machine-visible, not just the
+# cbox headline). Values are the driver target where one exists (cbox
+# >=200 from BASELINE.md; disney/sponza/array from the round-2/round-4
+# verdict targets) and the best committed same-code measurement
+# otherwise (veach/volpath: BENCH_r02).
+BASELINES = {
+    "cbox_512_path": 200.0,      # BASELINE.md target
+    "veach_mi": 197.01,          # best committed (BENCH_r02)
+    "disney_bsdf": 5.0,          # round-2 verdict target
+    "volpath_test6": 120.97,     # best committed (BENCH_r02)
+    "sponza_gradpath": 3.0,      # round-5 verdict target
+    "disney_array_512": 1.0,     # round-5 verdict target
+}
+
 
 def _render(scene, spp, seed=0):
     """Render with stats through the scene's own integrator."""
@@ -117,6 +132,9 @@ def bench_config(name, make_scene, spp, sol=None):
         "unit": "Mrays/s",
         "detail": detail,
     }
+    if name in BASELINES:
+        row["vs_baseline"] = round(mrays / BASELINES[name], 3)
+        detail["vs_baseline"] = row["vs_baseline"]
     print(json.dumps(row), flush=True)
     return name, mrays, row["detail"]
 

@@ -57,9 +57,19 @@ _CHAIN_SHIFT = 22        # leaf ref: start | (n_rows << 22)
 # past the cap fall back to the super16 HBM-gather walk, which measured
 # ~25x slower on disney_bsdf_array (734k tris). Env-overridable for
 # sweeps.
-MAX_TABLE_BYTES = int(__import__("os").environ.get(
-    "GDPT_MAX_TABLE_MB", "96")) << 20
+def _max_table_bytes():
+    # Read at BUILD time (not import) so the knob matches path_soa's
+    # scene-memo key, which also reads it per call — an env change
+    # after import both rebuilds the table and applies the new cap.
+    return int(__import__("os").environ.get("GDPT_MAX_TABLE_MB", "96")) << 20
 PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays per packet = PACKET_ROWS * 128
+# A/B knob: masked-stack traversal (measured 20-35% slower on v5e than
+# the legacy ordered push — see _make_kernel). Read ONCE at import so
+# kernel selection can't silently diverge from a mid-process env flip
+# (jit cache keys exclude the env); tests select it explicitly via the
+# masked_push parameter instead of the env.
+MASKED_STACK = __import__("os").environ.get(
+    "GDPT_PACKET_MASKSTACK", "0") == "1"
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
 # The floor of 8 is hardware-imposed: ray blocks are BlockSpec((P, 128))
@@ -322,7 +332,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         group_bbox.append((np.full(3, 3e38, np.float32),
                            np.full(3, -3e38, np.float32)))
     n_rows = n_super + len(leaf_groups)
-    if n_rows * 128 * 4 > MAX_TABLE_BYTES:
+    if n_rows * 128 * 4 > _max_table_bytes():
         return None
 
     table = np.zeros((n_rows, 128), np.float32)
@@ -469,9 +479,16 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
 
         org = V3(ox[...], oy[...], oz[...])
         d = V3(dx[...], dy[...], dz[...])
-        inv = V3(1.0 / jnp.where(d.x == 0, 1e-20, d.x),
-                 1.0 / jnp.where(d.y == 0, 1e-20, d.y),
-                 1.0 / jnp.where(d.z == 0, 1e-20, d.z))
+        # Degenerate-direction guard covers subnormals, not just exact
+        # zero: a subnormal component would make inv overflow to inf and
+        # the FMA form below produce NaN (inf - inf / 0 * inf) slab
+        # times, silently missing the box. Substituting +/-1e-20 caps
+        # |inv| at 1e20, so org*inv stays finite for any sane scene.
+        def _inv(c):
+            tiny = jnp.abs(c) < 1e-18
+            return 1.0 / jnp.where(tiny, jnp.where(c < 0, -1e-20, 1e-20), c)
+
+        inv = V3(_inv(d.x), _inv(d.y), _inv(d.z))
         # Slab tests in FMA form: t = bound*inv - org*inv, with org*inv
         # hoisted per packet — one fused op per plane instead of
         # sub-then-mul (~96 fewer vector ops per super visit).
@@ -729,9 +746,10 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
 
 
 @functools.partial(jax.jit, static_argnames=("n_tris", "any_hit",
-                                             "interpret"))
+                                             "interpret", "masked_push"))
 def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
-                   rref=None, n_tris=None, any_hit=False, interpret=False):
+                   rref=None, n_tris=None, any_hit=False, interpret=False,
+                   masked_push=None):
     """Inputs shaped (M, 128); M a multiple of PACKET_ROWS. rref: per-lane
     traversal-root refs, uniform within each packet (None = table root).
     Returns (t, prim) only — see _make_kernel."""
@@ -745,13 +763,10 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
     grid = (M // P,)
     ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
-    # A/B knob (process-level, read at trace time like GDPT_PACKET_SORT):
-    # GDPT_PACKET_MASKSTACK=1 opts into the masked-stack scheme, which
-    # measured 20-35% slower than the legacy ordered push (see
-    # _make_kernel docstring) — legacy is the default.
-    masked = os.environ.get("GDPT_PACKET_MASKSTACK", "0") == "1"
+    if masked_push is None:
+        masked_push = MASKED_STACK
     kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R,
-                        masked_push=masked)
+                        masked_push=masked_push)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
                  jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     if rref is None:
@@ -815,7 +830,7 @@ def _morton_keys(tab, org: V3, d: V3):
 
 def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
                      n_tris=None, any_hit=False, interpret=None,
-                     sort_rays=True):
+                     sort_rays=True, masked_push=None):
     """Flat-ray entry: (t, prim, u, v, gn V3) over n rays.
 
     Pads the ray list to whole packets; padding lanes get tfar < tnear
@@ -877,7 +892,8 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     # Padding tfar = -1 < tnear(=0 pad) marks dead lanes.
     tf = jnp.full((M * 128,), -1.0, REAL).at[:n].set(tfar).reshape(M, 128)
     t, prim = _trace_packets(
-        tab, *args, tf, n_tris=n_tris, any_hit=any_hit, interpret=interpret)
+        tab, *args, tf, n_tris=n_tris, any_hit=any_hit, interpret=interpret,
+        masked_push=masked_push)
 
     def unflat(a):
         x = a.reshape(-1)[:n]
@@ -1097,17 +1113,18 @@ def _two_phase_on(n):
 
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                     n_tris=None, interpret=None, sort_rays=True):
+                     n_tris=None, interpret=None, sort_rays=True,
+                     masked_push=None):
     if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
         return trace_two_phase(tab, org, d, tnear, tfar, n_tris=n_tris,
                                any_hit=False, interpret=interpret)
     return trace_packet_soa(tab, org, d, tnear, tfar, n_tris=n_tris,
                             any_hit=False, interpret=interpret,
-                            sort_rays=sort_rays)
+                            sort_rays=sort_rays, masked_push=masked_push)
 
 
 def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
-                    n_tris=None, interpret=None):
+                    n_tris=None, interpret=None, masked_push=None):
     if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
         t, prim, _, _, _ = trace_two_phase(
             tab, org, d, tnear, tfar, n_tris=n_tris, any_hit=True,
@@ -1115,5 +1132,5 @@ def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
         return prim >= 0
     t, prim, _, _, _ = trace_packet_soa(
         tab, org, d, tnear, tfar, n_tris=n_tris, any_hit=True,
-        interpret=interpret)
+        interpret=interpret, masked_push=masked_push)
     return prim >= 0

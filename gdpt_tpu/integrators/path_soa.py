@@ -130,9 +130,14 @@ _SOA_MEMO_CAP = 4
 def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     env = __import__("os").environ
     # Backend-selection knobs are read at build time; a test that
-    # monkeypatches them must not hit a stale entry.
+    # monkeypatches them must not hit a stale entry. The key covers
+    # EVERY build-time knob packet-table construction reads (ADVICE
+    # r04: premerge/entry_k were missing, so in-process A/Bs flipping
+    # them got a stale cached table).
     key = (id(scene.device), env.get("GDPT_PACKET", "auto"),
-           env.get("GDPT_MAX_TABLE_MB", ""))
+           env.get("GDPT_MAX_TABLE_MB", ""),
+           env.get("GDPT_EXPAND_PREMERGE", ""),
+           env.get("GDPT_ENTRY_K", ""))
     hit = _SOA_MEMO.get(key)
     if hit is not None and hit[0] is scene.device:
         return hit[1]

@@ -383,18 +383,19 @@ def test_presplit_refs_match_brute_force():
     assert (occ == (bp >= 0)).all()
 
 
-def test_masked_stack_matches_brute_force(monkeypatch):
-    """GDPT_PACKET_MASKSTACK=1 opts into the masked-stack traversal
+def test_masked_stack_matches_brute_force():
+    """masked_push=True opts into the masked-stack traversal
     (one (row, child-mask) entry per super + ctz peel) — measured
     slower on TPU v5e but kept as an A/B knob; it must stay
-    estimator-identical to the legacy ordered push."""
-    monkeypatch.setenv("GDPT_PACKET_MASKSTACK", "1")
+    estimator-identical to the legacy ordered push. Selected via the
+    explicit parameter (NOT the env, which is read once at import) so
+    this test deterministically exercises the masked kernel."""
     v0, v1, v2 = _soup(1200, seed=21)
     tab, e1, e2 = _table(v0, v1, v2)
     assert tab is not None
     org, d = _rays(1024, seed=22)
     t, prim, u, v, gn = pt.intersect_packet(
-        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True, masked_push=True)
     bt, bp = _brute(v0, e1, e2, org, d)
     prim = np.asarray(prim)
     assert (prim == bp).mean() == 1.0
@@ -402,5 +403,5 @@ def test_masked_stack_matches_brute_force(monkeypatch):
     np.testing.assert_allclose(np.asarray(t)[good], bt[good],
                                rtol=1e-3, atol=1e-4)
     occ = np.asarray(pt.occluded_packet(
-        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
+        tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True, masked_push=True))
     assert (occ == (bp >= 0)).all()

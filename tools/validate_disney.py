@@ -117,12 +117,17 @@ def patch_scene(xml_path, bsdf_spec, out_path, light_center=None):
             v = s.get("value")
             if not os.path.isabs(v):
                 s.set("value", os.path.normpath(os.path.join(base, v)))
+    # light_center is currently unused (all sphere_* configs were
+    # dropped from CONFIGS after the artifact mismatch triage) but kept
+    # for future reinstatement; guard the <point> lookup so a caller on
+    # an emitter without one doesn't crash.
     if light_center is not None:
         cx, cy, cz = light_center.split()
         for shape in root.findall("shape"):
             if shape.find("emitter") is not None:
                 pt = shape.find("point")
-                pt.set("x", cx), pt.set("y", cy), pt.set("z", cz)
+                if pt is not None:
+                    pt.set("x", cx), pt.set("y", cy), pt.set("z", cz)
     if bsdf_spec is not None:
         kind, params = bsdf_spec
         shape = root.find("shape")
