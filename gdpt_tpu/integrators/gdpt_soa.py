@@ -602,6 +602,29 @@ def _gdpt_pool_sort(st, tab):
     return out
 
 
+def _gdpt_shrink_pool(st, new_pool, keep):
+    """Tail compaction for the 5-path pool (see path_soa._shrink_pool_state):
+    once the work queue drains, compact surviving lanes into the
+    smallest pow-2 packet-aligned pool so every remaining dispatch pays
+    sort/pack/material cost proportional to real work. keep: host bool
+    mask of lanes to retain (live or dead-with-pending-harvest)."""
+    idx = np.nonzero(keep)[0]
+
+    def shrink(a):
+        a_h = np.asarray(a)
+        out = np.zeros((new_pool,) + a_h.shape[1:], a_h.dtype)
+        out[: idx.shape[0]] = a_h[idx]
+        return jnp.asarray(out)
+
+    lane = {k: (v if k == "rays"
+                else jax.tree_util.tree_map(shrink, v))
+            for k, v in st["lane"].items()}
+    out = dict(st)
+    out["lane"] = lane
+    out["pending"] = shrink(st["pending"])
+    return out
+
+
 @partial(jax.jit, static_argnames=("static", "k_iters"), donate_argnums=(2,))
 def _gdpt_wavefront_chunk(static, camera, st, sc, k_iters):
     # sc rides OUTSIDE the donated state (donation would delete the
@@ -663,15 +686,28 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
     last_drain = 0
     pool_sort = (_os.environ.get("GDPT_POOL_SORT", "0") == "1"
                  and sc.geom.packet is not None)
+    compact = _os.environ.get("GDPT_TAIL_COMPACT", "1") == "1"
+    cur_pool = P
     while True:
         if pool_sort:
             st = _gdpt_pool_sort(st, sc.geom.packet)
         st = _gdpt_wavefront_chunk(static, camera, st, sc, k_iters)
         ni = int(st["next_item"])
-        if (ni >= total
-                and float(jnp.max(st["lane"]["active"])) <= 0
-                and float(jnp.max(st["pending"])) <= 0):
-            break
+        if ni >= total:
+            # Queue drained: count lanes still carrying work (live, or
+            # dead-but-unharvested — pending radiance is harvested at
+            # the START of the next iteration, so it must survive
+            # compaction).
+            keep = (np.asarray(st["lane"]["active"]) > 0) | (
+                np.asarray(st["pending"]) > 0)
+            n_keep = int(keep.sum())
+            if n_keep == 0:
+                break
+            if compact:
+                tgt = ps._tail_bucket(n_keep, cur_pool, lane_q)
+                if tgt is not None:
+                    st = _gdpt_shrink_pool(st, tgt, keep)
+                    cur_pool = tgt
         if ni - last_drain >= drain_step:
             host_acc += np.asarray(st["acc"], np.float64)
             st["acc"] = jnp.zeros((n_pix, 18), REAL)

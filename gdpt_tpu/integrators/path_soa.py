@@ -1062,6 +1062,48 @@ _POOL_KEYS = ("org", "d", "tp", "pdf_prev", "eta_scale", "rr_prev",
               "alive")
 
 
+def _shrink_pool_state(st, new_pool, pool_keys=_POOL_KEYS, keep=None):
+    """Compact live lanes into a fresh pool of width new_pool.
+
+    Tail compaction (round-5 perf item): once the work queue drains,
+    lanes die at different depths and every dispatch still pays
+    full-width morton sort + (M,128) pack + material-stack cost — the
+    round-4 profile showed intersect/occluded never dropping below
+    ~330/150 ms even at 2.5k live lanes. Runs on host (a handful of
+    times per render, only in the drain tail); dropped lanes are dead
+    and carry nothing — accumulators are n_pix-shaped and stay put.
+    """
+    if keep is None:
+        keep = np.asarray(st["alive"]) > 0
+    idx = np.nonzero(keep)[0]
+
+    def shrink(a):
+        a_h = np.asarray(a)
+        out = np.zeros((new_pool,) + a_h.shape[1:], a_h.dtype)
+        out[: idx.shape[0]] = a_h[idx]
+        return jnp.asarray(out)
+
+    out = dict(st)
+    for k in pool_keys:
+        out[k] = jax.tree_util.tree_map(shrink, st[k])
+    return out
+
+
+def _tail_bucket(n_alive, cur_pool, lane_q):
+    """Target pool width for the drain tail: next power-of-two >=
+    n_alive, quantized to whole packet dispatches, floored at one
+    dispatch. Returns None unless it at least halves the pool (each
+    bucket width is a separate XLA compilation; pow-2 buckets bound the
+    count at log2(pool/lane_q) per scene, all disk-cached)."""
+    target = lane_q
+    while target < n_alive:
+        target *= 2
+    target = -(-target // lane_q) * lane_q
+    if target <= cur_pool // 2:
+        return target
+    return None
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _pool_sort(st, tab):
     """Morton/octant-permute the wavefront lane pool in place (dead
@@ -1176,14 +1218,25 @@ def render_soa_wavefront(scene: Scene, spp, seed=0, return_stats=False,
 
     pool_sort = (__import__("os").environ.get("GDPT_POOL_SORT", "0") == "1"
                  and sc.geom.packet is not None)
+    compact = __import__("os").environ.get("GDPT_TAIL_COMPACT", "1") == "1"
+    cur_pool = pool
     while True:
         if pool_sort:
             st = _pool_sort(st, sc.geom.packet)
         st = _wavefront_chunk(static, scene.device.camera, st, sc, k_iters)
         ni = int(st["next_item"])
-        done = ni >= total
-        if done and float(jnp.max(st["alive"])) <= 0:
-            break
+        if ni >= total:
+            n_alive = int(jnp.sum(st["alive"] > 0))
+            if n_alive == 0:
+                break
+            # Drain tail: queue exhausted, surviving lanes at mixed
+            # depths — compact them into the smallest pool bucket so
+            # sort/pack/shade cost tracks the live count.
+            if compact:
+                tgt = _tail_bucket(n_alive, cur_pool, lane_q)
+                if tgt is not None:
+                    st = _shrink_pool_state(st, tgt)
+                    cur_pool = tgt
         if ni - last_drain >= drain_step:
             drain(st)
             last_drain = ni

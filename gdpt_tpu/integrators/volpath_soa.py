@@ -757,15 +757,29 @@ def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
     last_drain = 0
     pool_sort = (_os.environ.get("GDPT_POOL_SORT", "0") == "1"
                  and sc.geom.packet is not None)
+    compact = _os.environ.get("GDPT_TAIL_COMPACT", "1") == "1"
+    cur_pool = P
     while True:
         if pool_sort:
             st = _vol_pool_sort(st, sc.geom.packet)
         st = _vol_wavefront_chunk(static, camera, st, sc, media, k_iters)
         ni = int(st["next_item"])
-        if (ni >= total
-                and float(jnp.max(st["lane"]["active"])) <= 0
-                and float(jnp.max(st["pending"])) <= 0):
-            break
+        if ni >= total:
+            # Queue drained — see gdpt_soa._gdpt_shrink_pool: keep live
+            # lanes and dead-but-unharvested ones (their radiance is
+            # harvested at the start of the next iteration).
+            keep = (np.asarray(st["lane"]["active"]) > 0) | (
+                np.asarray(st["pending"]) > 0)
+            n_keep = int(keep.sum())
+            if n_keep == 0:
+                break
+            if compact:
+                from gdpt_tpu.integrators import gdpt_soa as _gs
+
+                tgt = ps._tail_bucket(n_keep, cur_pool, lane_q)
+                if tgt is not None:
+                    st = _gs._gdpt_shrink_pool(st, tgt, keep)
+                    cur_pool = tgt
         if ni - last_drain >= drain_step:
             host_acc += np.asarray(st["acc"], np.float64)
             st["acc"] = jnp.zeros((n_pix, 3), REAL)

@@ -211,6 +211,23 @@ def test_gdpt_wavefront_matches_banded(monkeypatch):
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
 
 
+def test_gdpt_wavefront_tail_compaction_matches_banded(monkeypatch):
+    """Tail compaction of the 5-path pool (live-prefix shrink after the
+    work queue drains, keeping dead-but-unharvested lanes) is pure
+    scheduling — image matches the banded loop. GDPT_GDPT_POOL=2048
+    with a 2560-item queue forces the drain tail through a shrink."""
+    from gdpt_tpu.integrators import gdpt_soa
+
+    sc = presets.cornell_box(width=16, height=16, spp=2, max_depth=3,
+                             integrator="gradpath", force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = gdpt_soa.render_gradpath_soa(sc, spp=10, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    monkeypatch.setenv("GDPT_GDPT_POOL", "2048")
+    b = gdpt_soa.render_gradpath_soa(sc, spp=10, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
+
+
 def test_gdpt_wavefront_pool_sorted_matches_banded(monkeypatch):
     """GDPT_POOL_SORT=1 permutes the 5-path lane pool per chunk and
     traces base/probe rays unsorted; estimator-identical to banded."""

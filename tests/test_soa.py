@@ -455,6 +455,22 @@ def test_volpath_wavefront_matches_banded(monkeypatch):
     np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
 
 
+def test_path_wavefront_tail_compaction_matches_banded(monkeypatch):
+    """Tail compaction (live-prefix pool shrink once the work queue
+    drains) is pure scheduling: lane identity (pixel, sample) rides
+    with the compacted state, so the image matches the banded loop to
+    accumulation-order float noise. GDPT_POOL=4096 with a 6400-item
+    queue forces the drain tail through at least one shrink bucket."""
+    sc = presets.cornell_box(width=16, height=16, spp=25, max_depth=6,
+                             force_bvh=True)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "0")
+    a = path_soa.render_soa(sc, spp=25, seed=5)
+    monkeypatch.setenv("GDPT_WAVEFRONT", "1")
+    monkeypatch.setenv("GDPT_POOL", "4096")
+    b = path_soa.render_soa(sc, spp=25, seed=5)
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=2e-6)
+
+
 def test_path_wavefront_pool_sorted_matches_banded(monkeypatch):
     """GDPT_POOL_SORT=1 (morton-permute the lane pool per chunk, trace
     extension rays unsorted) is the same estimator as the banded loop —
