@@ -25,3 +25,30 @@ Layer map (mirrors SURVEY.md section 1):
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Force-enable the persistent XLA compile cache.
+
+    On this TPU environment the JAX_COMPILATION_CACHE_DIR env var is
+    silently ignored (jax.config.jax_compilation_cache_dir stays None;
+    every process then recompiles the big wavefront chunks server-side,
+    ~10 min per scene). An explicit config.update is the only override
+    that sticks, so apply it at package import. Opt out with
+    GDPT_NO_COMPILE_CACHE=1 (e.g. for compile-time measurements)."""
+    import os
+
+    if os.environ.get("GDPT_NO_COMPILE_CACHE", "0") == "1":
+        return
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_tpu_cache")
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+    except Exception:  # pragma: no cover - cache is a pure optimization
+        pass
+
+
+_enable_compile_cache()

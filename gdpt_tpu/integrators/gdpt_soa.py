@@ -606,15 +606,14 @@ def _gdpt_shrink_pool(st, new_pool, keep):
     """Tail compaction for the 5-path pool (see path_soa._shrink_pool_state):
     once the work queue drains, compact surviving lanes into the
     smallest pow-2 packet-aligned pool so every remaining dispatch pays
-    sort/pack/material cost proportional to real work. keep: host bool
-    mask of lanes to retain (live or dead-with-pending-harvest)."""
-    idx = np.nonzero(keep)[0]
+    sort/pack/material cost proportional to real work. keep: device bool
+    mask of lanes to retain (live or dead-with-pending-harvest). Runs
+    fully on device — the 5-path lane state is far too large to bounce
+    through the host tunnel per shrink."""
+    order = ps._compact_take_order(keep, new_pool)
 
     def shrink(a):
-        a_h = np.asarray(a)
-        out = np.zeros((new_pool,) + a_h.shape[1:], a_h.dtype)
-        out[: idx.shape[0]] = a_h[idx]
-        return jnp.asarray(out)
+        return jnp.take(a, order, axis=0)
 
     lane = {k: (v if k == "rays"
                 else jax.tree_util.tree_map(shrink, v))
@@ -698,9 +697,8 @@ def _gdpt_wavefront_accum(static, camera, sc, spp, seed, n_pix,
             # dead-but-unharvested — pending radiance is harvested at
             # the START of the next iteration, so it must survive
             # compaction).
-            keep = (np.asarray(st["lane"]["active"]) > 0) | (
-                np.asarray(st["pending"]) > 0)
-            n_keep = int(keep.sum())
+            keep = (st["lane"]["active"] > 0) | (st["pending"] > 0)
+            n_keep = int(jnp.sum(keep))
             if n_keep == 0:
                 break
             if compact:

@@ -1062,6 +1062,18 @@ _POOL_KEYS = ("org", "d", "tp", "pdf_prev", "eta_scale", "rr_prev",
               "alive")
 
 
+@partial(jax.jit, static_argnames=("new_pool",))
+def _compact_take_order(keep, new_pool):
+    """Stable keep-first permutation, sliced to the new pool width.
+
+    Device-side: the first host version of tail compaction pulled the
+    whole lane state through np.asarray — tens of MB over the axon
+    tunnel per shrink — which showed up as a sponza_gradpath regression
+    (1.75 -> 1.38 Mrays/s, round-5 first bench). One argsort over the
+    old pool replaces all of that traffic."""
+    return jnp.argsort(jnp.where(keep, 0, 1), stable=True)[:new_pool]
+
+
 def _shrink_pool_state(st, new_pool, pool_keys=_POOL_KEYS, keep=None):
     """Compact live lanes into a fresh pool of width new_pool.
 
@@ -1069,19 +1081,17 @@ def _shrink_pool_state(st, new_pool, pool_keys=_POOL_KEYS, keep=None):
     lanes die at different depths and every dispatch still pays
     full-width morton sort + (M,128) pack + material-stack cost — the
     round-4 profile showed intersect/occluded never dropping below
-    ~330/150 ms even at 2.5k live lanes. Runs on host (a handful of
-    times per render, only in the drain tail); dropped lanes are dead
-    and carry nothing — accumulators are n_pix-shaped and stay put.
+    ~330/150 ms even at 2.5k live lanes. Runs fully on device (the
+    slots past the live prefix hold dead lanes, which regenerate
+    nothing once the queue is empty); accumulators are n_pix-shaped
+    and stay put.
     """
     if keep is None:
-        keep = np.asarray(st["alive"]) > 0
-    idx = np.nonzero(keep)[0]
+        keep = st["alive"] > 0
+    order = _compact_take_order(keep, new_pool)
 
     def shrink(a):
-        a_h = np.asarray(a)
-        out = np.zeros((new_pool,) + a_h.shape[1:], a_h.dtype)
-        out[: idx.shape[0]] = a_h[idx]
-        return jnp.asarray(out)
+        return jnp.take(a, order, axis=0)
 
     out = dict(st)
     for k in pool_keys:

@@ -768,9 +768,8 @@ def _vol_wavefront_accum(static, camera, sc, media, spp, seed, n_pix,
             # Queue drained — see gdpt_soa._gdpt_shrink_pool: keep live
             # lanes and dead-but-unharvested ones (their radiance is
             # harvested at the start of the next iteration).
-            keep = (np.asarray(st["lane"]["active"]) > 0) | (
-                np.asarray(st["pending"]) > 0)
-            n_keep = int(keep.sum())
+            keep = (st["lane"]["active"] > 0) | (st["pending"] > 0)
+            n_keep = int(jnp.sum(keep))
             if n_keep == 0:
                 break
             if compact:

@@ -61,6 +61,9 @@ CONFIGS = [
     ("disney_bsdf", f"{SCENES}/disney_bsdf_test/disney_bsdf.xml"),
     ("volpath_test6", f"{SCENES}/volpath_test/volpath_test6.xml"),
     ("sponza_gradpath", f"{SCENES}/sponza/sponza.xml"),
+    # Big-scene bench row (734k tris); rendered at 512x512 in bench.py.
+    ("disney_array_512",
+     f"{SCENES}/disney_bsdf_test/disney_bsdf_array.xml"),
 ]
 
 
@@ -269,10 +272,13 @@ def _timed_occluded_mrays(static, g, org, d, m):
 
 
 def measure_vpu_peak():
-    """Measured f32 VPU peak (GFLOP/s): a chained elementwise FMA loop
-    on a VMEM-resident block. 64 unrolled FMAs per fori iteration keep
-    the HBM carry traffic (2 x 4 MiB x K) far below the compute time,
-    so the best-of-3 approaches the chip's vector f32 ceiling."""
+    """Measured f32 VPU peak (GFLOP/s): elementwise FMA loops on a
+    VMEM-resident block, 4 INDEPENDENT accumulator chains interleaved.
+    The round-4 version used a single dependent chain (y = y*a+b), which
+    measures FMA *latency*, not throughput — the 254.8 GFLOP/s it
+    reported made cbox's in-render arithmetic imply >1 utilization
+    (STATUS.md round-4 finding). Independent chains let the VPU pipeline
+    fill; each fori iteration does 4 chains x U FMAs = 2 flops each."""
     import jax
     import jax.numpy as jnp
 
@@ -283,11 +289,18 @@ def measure_vpu_peak():
 
     @jax.jit
     def run(x):
-        def body(_, y):
+        def body(_, ys):
+            y0, y1, y2, y3 = ys
             for _ in range(U):
-                y = y * a + b
-            return y
-        return jax.lax.fori_loop(0, K, body, x)
+                # Four independent y*a+b chains: dependency depth U,
+                # total work 4U FMAs — enough ILP to fill the pipeline.
+                y0 = y0 * a + b
+                y1 = y1 * a + b
+                y2 = y2 * a + b
+                y3 = y3 * a + b
+            return (y0, y1, y2, y3)
+        return jax.lax.fori_loop(
+            0, K, body, (x, x * a, x + b, x * a + b))
 
     jax.block_until_ready(run(x))
     best = 1e30
@@ -295,7 +308,7 @@ def measure_vpu_peak():
         t0 = time.perf_counter()
         jax.block_until_ready(run(x))
         best = min(best, time.perf_counter() - t0)
-    return 2.0 * x.size * K * U / best / 1e9
+    return 2.0 * 4 * x.size * K * U / best / 1e9
 
 
 def measure_kernels():
