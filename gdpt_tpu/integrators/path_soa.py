@@ -103,6 +103,10 @@ class SceneSoA(NamedTuple):
     env_pdf_marginals: jnp.ndarray
     env_alias_cut: jnp.ndarray
     env_alias_idx: jnp.ndarray
+    # Dense (h*w, 3) level-0 copy of the env image ((1, 3) dummy when
+    # the envmap is constant/absent): slice-gather radiance path, see
+    # textures_soa.EnvmapSoA.img3.
+    env_img3: jnp.ndarray
 
 
 def supports_soa(scene: Scene) -> bool:
@@ -159,6 +163,18 @@ def _scene_soa_from_aos_uncached(scene: Scene) -> SceneSoA:
     env_w = np.asarray(dev.envmap.dist.pdf_marginals, np.float64)[:, None] \
         * np.asarray(dev.envmap.dist.pdf_rows, np.float64)
     env_alias_cut, env_alias_idx = gdist.build_alias_table(env_w)
+    # Dense (h*w, 3) level-0 copy of the env image for the slice-gather
+    # radiance path (textures_soa.EnvmapSoA.img3).
+    if scene.static.envmap_is_image:
+        eid = int(np.asarray(dev.envmap.tex.img_id[0]))
+        p3 = dev.pool3
+        eoff = int(np.asarray(p3.level_offset[eid, 0]))
+        ew = int(np.asarray(p3.level_w[eid, 0]))
+        eh = int(np.asarray(p3.level_h[eid, 0]))
+        env_img3 = jnp.asarray(
+            np.asarray(p3.data[eoff:eoff + eh * ew], np.float32))
+    else:
+        env_img3 = jnp.zeros((1, 3), np.float32)
     idx = np.asarray(dev.tri_index)
     vn = np.asarray(dev.vtx_normal)
     vuv = np.asarray(dev.vtx_uv)
@@ -285,6 +301,7 @@ def _scene_soa_from_aos_uncached(scene: Scene) -> SceneSoA:
         env_pdf_marginals=dev.envmap.dist.pdf_marginals,
         env_alias_cut=env_alias_cut,
         env_alias_idx=env_alias_idx,
+        env_img3=env_img3,
     )
 
 
@@ -300,6 +317,7 @@ def _env_view(static, sc: SceneSoA) -> tsoa.EnvmapSoA:
         sc.env_cdf_rows, sc.env_pdf_rows,
         sc.env_cdf_marginals, sc.env_pdf_marginals,
         sc.env_alias_cut, sc.env_alias_idx, w, h,
+        img3=sc.env_img3 if static.envmap_is_image else None,
     )
 
 
@@ -817,13 +835,11 @@ def trace_paths_soa(static, camera, sc: SceneSoA, xs, ys, ray_idx, seed, sample0
         if static.has_envmap:
             miss = active & ~nxt_ok
             env_id = static.envmap_light_id
-            p1e = sc.light_pmf[env_id] * envmap_pdf_for_dir(static, sc, d_out)
+            env_hit, env_pdf = tsoa.envmap_emission_pdf_soa(
+                _env_view(static, sc), sc.mat_tables.pool3, d_out)
+            p1e = sc.light_pmf[env_id] * env_pdf
             w2e = p2a * p2a / jnp.maximum(p1e * p1e + p2a * p2a, 1e-30)
             scale = g2 * w2e / jnp.maximum(p2a, 1e-30)
-            env_hit = tsoa.envmap_emission_soa(
-                _env_view(static, sc), sc.mat_tables.pool3, d_out,
-                spread=spread
-            )
             contrib = s["throughput"] * f_b * env_hit * scale
             radiance = radiance + soa.where(miss, contrib, V3(zero, zero, zero))
 
@@ -960,10 +976,9 @@ def _wavefront_body(static, camera, sc, st):
         contrib = contrib + soa.where(hit_is_light, tp_emit * l_emit * wgt,
                                       zero3)
     if static.has_envmap:
-        env = tsoa.envmap_emission_soa(_env_view(static, sc),
-                                       sc.mat_tables.pool3, d, spread=spread)
-        p1e = sc.light_pmf[static.envmap_light_id] * envmap_pdf_for_dir(
-            static, sc, d)
+        env, env_pdf = tsoa.envmap_emission_pdf_soa(
+            _env_view(static, sc), sc.mat_tables.pool3, d)
+        p1e = sc.light_pmf[static.envmap_light_id] * env_pdf
         w2e = pdf_prev * pdf_prev / jnp.maximum(
             p1e * p1e + pdf_prev * pdf_prev, 1e-30)
         wgt = jnp.where(is_primary, 1.0, w2e)

@@ -216,6 +216,14 @@ class EnvmapSoA(NamedTuple):
     alias_idx: jnp.ndarray
     width: int
     height: int
+    # Dense (h*w, 3) copy of the env image's mip level 0, or None.
+    # Radiance lookups through the texture pool cost 12 single-element
+    # gathers (4 taps x 3 separate component arrays) + 3 metadata
+    # gathers per lane; this row layout does 4 (1,3)-slice gathers with
+    # static width/height — measured 34.7 ms vs 64.3 ms per 262k lanes
+    # on TPU (tools/env_lookup_bench.py), and env emission runs twice
+    # per wavefront iteration (carried-MIS hit + NEE tap).
+    img3: object = None
 
 
 def _xform_vec(m, v: V3) -> V3:
@@ -237,6 +245,41 @@ def envmap_uv_from_dir(env: EnvmapSoA, wdir: V3):
     return u, v, sin_e
 
 
+def _envmap_radiance_uv(env: EnvmapSoA, pool: Pool3SoA, u, v) -> V3:
+    """Unscaled level-0 bilinear env radiance at (u, v). Uses the dense
+    (h*w, 3) row-layout copy when available (4 slice gathers, static
+    w/h) and falls back to the generic pool path otherwise."""
+    if env.tex_kind != 1:  # TEX_CONST (static branch)
+        ones = jnp.ones_like(u)
+        return V3(ones * env.const_value.x, ones * env.const_value.y,
+                  ones * env.const_value.z)
+    if env.img3 is None:
+        n = u.shape[0]
+        img_id = jnp.full(n, env.img_id, INT)
+        return bilinear_level0(pool, img_id, u, v)
+    w, h = env.width, env.height
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(INT)
+    y0 = jnp.floor(y).astype(INT)
+    fx = x - x0.astype(REAL)
+    fy = y - y0.astype(REAL)
+    x0m = jnp.mod(x0, w)
+    y0m = jnp.mod(y0, h)
+    x1m = jnp.mod(x0 + 1, w)
+    y1m = jnp.mod(y0 + 1, h)
+    img = env.img3
+    p00 = jnp.take(img, y0m * w + x0m, axis=0, mode="clip")
+    p01 = jnp.take(img, y1m * w + x0m, axis=0, mode="clip")
+    p10 = jnp.take(img, y0m * w + x1m, axis=0, mode="clip")
+    p11 = jnp.take(img, y1m * w + x1m, axis=0, mode="clip")
+    o = (p00 * ((1 - fx) * (1 - fy))[:, None]
+         + p10 * (fx * (1 - fy))[:, None]
+         + p01 * ((1 - fx) * fy)[:, None]
+         + p11 * (fx * fy)[:, None])
+    return V3(o[:, 0], o[:, 1], o[:, 2])
+
+
 def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3,
                         spread=None) -> V3:
     """Radiance arriving along dir_to_env. Image envmaps are always a
@@ -247,15 +290,16 @@ def envmap_emission_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3,
     level-0 bilinear. See ops/lights.py:envmap_emission."""
     del spread
     u, v, _ = envmap_uv_from_dir(env, dir_to_env)
-    if env.tex_kind == 1:  # TEX_IMAGE (static branch)
-        n = u.shape[0]
-        img_id = jnp.full(n, env.img_id, INT)
-        val = bilinear_level0(pool, img_id, u, v)
-    else:
-        ones = jnp.ones_like(u)
-        val = V3(ones * env.const_value.x, ones * env.const_value.y,
-                 ones * env.const_value.z)
-    return val * env.scale
+    return _envmap_radiance_uv(env, pool, u, v) * env.scale
+
+
+def envmap_emission_pdf_soa(env: EnvmapSoA, pool: Pool3SoA, dir_to_env: V3):
+    """(scaled radiance, NEE-sampler solid-angle pdf) for one direction,
+    sharing a single uv transform: the carried-pdf MIS env term needs
+    both, and the atan2/acos transform alone is ~24 ms per 262k lanes."""
+    u, v, sin_e = envmap_uv_from_dir(env, dir_to_env)
+    rad = _envmap_radiance_uv(env, pool, u, v) * env.scale
+    return rad, _envmap_pdf_uv(env, u, v, sin_e)
 
 
 def envmap_sample_dir(env: EnvmapSoA, u0, u1):
@@ -298,10 +342,9 @@ def envmap_sample_dir(env: EnvmapSoA, u0, u1):
     return wdir, pdf
 
 
-def envmap_pdf_dir(env: EnvmapSoA, wdir: V3):
-    """Solid-angle density of envmap_sample_dir at wdir
+def _envmap_pdf_uv(env: EnvmapSoA, u, v, sin_e):
+    """Solid-angle density of envmap_sample_dir at precomputed (u, v)
     (reference: src/lights/envmap.inl:58-73)."""
-    u, v, sin_e = envmap_uv_from_dir(env, wdir)
     h, w = env.height, env.width
     x = jnp.clip((u * w).astype(INT), 0, w - 1)
     y = jnp.clip((v * h).astype(INT), 0, h - 1)
@@ -313,3 +356,9 @@ def envmap_pdf_dir(env: EnvmapSoA, wdir: V3):
     return jnp.where(
         sin_e > 0, pdf_uv / jnp.maximum(2.0 * jnp.pi * jnp.pi * sin_e, 1e-20), 0.0
     )
+
+
+def envmap_pdf_dir(env: EnvmapSoA, wdir: V3):
+    """Solid-angle density of envmap_sample_dir at wdir."""
+    u, v, sin_e = envmap_uv_from_dir(env, wdir)
+    return _envmap_pdf_uv(env, u, v, sin_e)

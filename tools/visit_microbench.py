@@ -183,6 +183,45 @@ def build(tab, n_visits, mode, n_tris=None):
             t_o[...] = best_t
             prim_o[...] = prim_b
 
+        def super_visit2(srow, srow2):
+            # Dual-visit: two independent slab-test bodies on the SAME
+            # ray packet but different rows, interleaved per child so
+            # the scalar row loads of one overlap the vector math of
+            # the other (latency-hiding hypothesis for a dual-packet
+            # kernel). Counts as 2 visits.
+            row_i = tab_ref[srow, :]
+            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            row_i2 = tab_ref[srow2, :]
+            rowf2 = jax.lax.bitcast_convert_type(row_i2, jnp.float32)
+            best = t_o[...]
+            bits = jnp.zeros((P, 128), jnp.int32)
+            bits2 = jnp.zeros((P, 128), jnp.int32)
+            for k in range(16):
+                b = k * 6
+                for rf, bb in ((rowf, 0), (rowf2, 1)):
+                    t0x = rf[b + 0] * inv.x - oinv.x
+                    t1x = rf[b + 3] * inv.x - oinv.x
+                    t0y = rf[b + 1] * inv.y - oinv.y
+                    t1y = rf[b + 4] * inv.y - oinv.y
+                    t0z = rf[b + 2] * inv.z - oinv.z
+                    t1z = rf[b + 5] * inv.z - oinv.z
+                    t_in = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t0x, t1x),
+                                    jnp.minimum(t0y, t1y)),
+                        jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+                    t_out = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t0x, t1x),
+                                    jnp.maximum(t0y, t1y)),
+                        jnp.minimum(jnp.maximum(t0z, t1z), best))
+                    hitb = jnp.where(t_in <= t_out, jnp.int32(1 << k), 0)
+                    if bb == 0:
+                        bits = bits | hitb
+                    else:
+                        bits2 = bits2 | hitb
+            m = or_scalar(bits) & tab_ref[srow, 120]
+            m2 = or_scalar(bits2) & tab_ref[srow2, 120]
+            spr[1] = spr[1] | m | m2
+
         def body(carry):
             it = carry
             # Dynamic, data-dependent row index (same class of VMEM
@@ -190,6 +229,9 @@ def build(tab, n_visits, mode, n_tris=None):
             srow = (it * 747796405 & 0x7FFFFFFF) % R
             if mode == "super":
                 super_visit(srow)
+            elif mode == "super2":
+                srow2 = (it * 2654435761 & 0x7FFFFFFF) % R
+                super_visit2(srow, srow2)
             elif mode == "super_sld":
                 super_visit_sld(srow)
             elif mode == "leaf":
@@ -200,7 +242,8 @@ def build(tab, n_visits, mode, n_tris=None):
                 spr[1] = spr[1] | tab_ref[srow, 120]
             return it + 1
 
-        jax.lax.while_loop(lambda it: it < n_visits, body, jnp.int32(0))
+        n_iters = n_visits // 2 if mode == "super2" else n_visits
+        jax.lax.while_loop(lambda it: it < n_iters, body, jnp.int32(0))
 
     M = P
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
@@ -251,7 +294,9 @@ def main():
     print(f"table rows {tab.table.shape[0]}, n_visits {n_visits}",
           flush=True)
     base = None
-    for mode in ("empty", "super", "super_sld", "leaf", "leaf_sld"):
+    modes = (sys.argv[3].split(",") if len(sys.argv) > 3 else
+             ["empty", "super", "super_sld", "leaf", "leaf_sld"])
+    for mode in modes:
         f = build(tab, n_visits, mode)
         tabf = jax.lax.bitcast_convert_type(tab.table, jnp.float32)
         out = f(tab.table, tabf, *args)
