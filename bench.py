@@ -108,9 +108,11 @@ def bench_config(name, make_scene, spp, sol=None):
     # VPU peak / intersection flops per ray) — the standalone brute
     # dispatch is HBM-streaming-bound and can sit BELOW the fused
     # render, which made mfu_est > 1. Packet scenes use the measured
-    # standalone kernel on harvested bounce rays (honest workload);
-    # synthetic incoherent is the fallback.
+    # kernel on captured steady-state pool rays (the render's own ray
+    # population; round-5 methodology), falling back to harvested
+    # bounce rays then synthetic incoherent.
     sol_ref = (srow.get("sol_flop_floor_mrays")
+               or srow.get("sol_kernel_pool_mrays")
                or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
     if srow.get("backend") == "brute" and "sol_flop_floor_mrays" not in srow:
@@ -122,7 +124,9 @@ def bench_config(name, make_scene, spp, sol=None):
     if sol_ref:
         detail["mfu_est"] = round(mrays / sol_ref, 3)
         detail["sol_ceiling_mrays"] = sol_ref
-        if "sol_kernel_bounce_mrays" in srow:
+        if "sol_kernel_pool_mrays" in srow:
+            detail["sol_kernel_mrays"] = srow["sol_kernel_pool_mrays"]
+        elif "sol_kernel_bounce_mrays" in srow:
             detail["sol_kernel_mrays"] = srow["sol_kernel_bounce_mrays"]
         if "kernel_floor_frac" in srow:
             detail["kernel_floor_frac"] = srow["kernel_floor_frac"]

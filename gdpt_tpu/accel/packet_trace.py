@@ -801,12 +801,17 @@ def _pack(v, M):
     return jnp.pad(v, (0, pad)).reshape(M, 128)
 
 
-def _morton_keys(tab, org: V3, d: V3):
+def _morton_keys(tab, org: V3, d: V3, hint=None):
     """Packet-coherence sort key: direction octant (3 high bits) then a
     6-bit-per-axis interleaved morton code of the origin in scene-bbox
     space. Bounce batches arrive shuffled; grouping rays that start
     near each other and head the same way shrinks each packet's
-    node-visit union (measured 8x on incoherent sponza rays)."""
+    node-visit union (measured 8x on incoherent sponza rays).
+
+    hint: optional per-lane int32 in [0, 63] placed ABOVE the octant
+    bits. Wavefront pools mix bounce depths; grouping same-depth rays
+    first cuts visits/packet another ~12% on disney pool rays
+    (round5_evidence/visits_analyze.txt: 494 -> 436 visits/packet)."""
     lo = tab.bbox[:3]
     ext = jnp.maximum(tab.bbox[3:] - lo, 1e-6)
 
@@ -825,12 +830,15 @@ def _morton_keys(tab, org: V3, d: V3):
     octant = ((d.x < 0).astype(jnp.int32)
               | ((d.y < 0).astype(jnp.int32) << 1)
               | ((d.z < 0).astype(jnp.int32) << 2))
-    return (octant << 18) | mort
+    key = (octant << 18) | mort
+    if hint is not None:
+        key = key | (jnp.clip(hint.astype(jnp.int32), 0, 63) << 21)
+    return key
 
 
 def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
                      n_tris=None, any_hit=False, interpret=None,
-                     sort_rays=True, masked_push=None):
+                     sort_rays=True, masked_push=None, sort_hint=None):
     """Flat-ray entry: (t, prim, u, v, gn V3) over n rays.
 
     Pads the ray list to whole packets; padding lanes get tfar < tnear
@@ -873,7 +881,7 @@ def trace_packet_soa(tab: PacketTable, org: V3, d: V3, tnear, tfar,
     if os.environ.get("GDPT_PACKET_SORT", "1") == "0":
         sort_rays = False
     if sort_rays and n > 128:
-        keys = _morton_keys(tab, org, d)
+        keys = _morton_keys(tab, org, d, hint=sort_hint)
         # Dead lanes sort to the back so they pack into all-dead
         # packets (which exit after one root visit).
         keys = jnp.where(alive, keys, jnp.int32(2**30))
@@ -1114,13 +1122,14 @@ def _two_phase_on(n):
 
 def intersect_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,
                      n_tris=None, interpret=None, sort_rays=True,
-                     masked_push=None):
+                     masked_push=None, sort_hint=None):
     if tab.entry_ref is not None and _two_phase_on(org.x.shape[0]):
         return trace_two_phase(tab, org, d, tnear, tfar, n_tris=n_tris,
                                any_hit=False, interpret=interpret)
     return trace_packet_soa(tab, org, d, tnear, tfar, n_tris=n_tris,
                             any_hit=False, interpret=interpret,
-                            sort_rays=sort_rays, masked_push=masked_push)
+                            sort_rays=sort_rays, masked_push=masked_push,
+                            sort_hint=sort_hint)
 
 
 def occluded_packet(tab: PacketTable, org: V3, d: V3, tnear, tfar,

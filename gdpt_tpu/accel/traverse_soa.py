@@ -549,7 +549,7 @@ def _merge_spheres_closest(static, g, org, d, tnear, hit: HitSoA, gn):
 
 
 def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar,
-                     sort_rays=True):
+                     sort_rays=True, sort_hint=None):
     """Closest hit plus, when the pallas backend runs, the unnormalized
     geometric normal of the hit primitive (None otherwise).
 
@@ -570,7 +570,7 @@ def intersect_soa_gn(static, g: GeomSoA, org: V3, d: V3, tnear, tfar,
 
         t, prim, u, v, gn = packet_trace.intersect_packet(
             g.packet, org, d, tnear, tfar, n_tris=n_tris_arg,
-            sort_rays=sort_rays)
+            sort_rays=sort_rays, sort_hint=sort_hint)
         hit = HitSoA(t, prim, u, v)
         if _sph_outside(static):
             hit, gn = _merge_spheres_closest(static, g, org, d, tnear,

@@ -563,6 +563,13 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
 
     lane, pending2, next_item = jax.lax.cond(do_refill, refill, skip,
                                              (s, pah))
+    # Occupancy telemetry: live fraction ENTERING the bounce (post-
+    # refill), i.e. how much of the full-width bounce cost is useful
+    # work. Sampling after the bounce (round-4 occupancy report) made
+    # scenes whose offsets merge/die at bounce 1 read as ~0.10 occupancy
+    # even though every bounce ran on a freshly refilled pool — it
+    # measured path shortness, not wasted width.
+    occ = jnp.mean(jnp.where(lane["active"] > 0, 1.0, 0.0))
     lane = _gdpt_bounce(static, sc, used, st["seed"], lane)
     return dict(
         lane=lane,
@@ -571,9 +578,7 @@ def _gdpt_wavefront_body(static, camera, sc, used, st):
         next_item=next_item,
         total=st["total"],
         seed=st["seed"],
-        # Occupancy telemetry: mean live fraction per iteration.
-        occ_sum=st["occ_sum"] + jnp.mean(jnp.where(
-            lane["active"] > 0, 1.0, 0.0)),
+        occ_sum=st["occ_sum"] + occ,
         iters=st["iters"] + 1.0,
     )
 

@@ -951,6 +951,11 @@ def _wavefront_body(static, camera, sc, st):
     # rays per bounce); NEE shadow dispatches keep their own sort
     # (different directions). Default off pending hardware A/B.
     pool_sorted = os.environ.get("GDPT_POOL_SORT", "0") == "1"
+    # NOTE: a bounce-depth sort hint (sort_hint=bounce) was measured
+    # SLOWER on hardware (2.03 -> 1.88 Mrays/s on captured pool rays)
+    # despite the CPU visit model predicting -12% visits/packet — the
+    # 24-packet sampled model under-represents the divergent tail that
+    # depth grouping creates. Kept out; see packet_trace._morton_keys.
     hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear, tfar,
                                        sort_rays=not pool_sorted)
     v = shade_hit(static, sc, org, d, hit, gn_raw,

@@ -2,11 +2,14 @@
 
 Defines the hardware-utilization model bench.py reports as `mfu_est`:
 
+  sol_kernel_pool_mrays: packet configs — the kernel on CAPTURED
+      steady-state wavefront pool rays (mixed bounce depths, per-lane
+      tnear, ): the population the render's extension
+      trace actually dispatches. This is the mfu_est denominator for
+      packet configs; every other batch below is easier than this.
   sol_kernel_inc_mrays : standalone intersect-only throughput of the
       scene's own traversal backend (packet table or brute force) on an
-      incoherent, morton-sorted 1M-ray batch on the real chip. This is
-      the empirical ceiling a render could reach if shading/NEE/RNG were
-      free; bench.py reports mfu_est = achieved_in_render / this.
+      incoherent, morton-sorted 1M-ray batch on the real chip.
   sol_kernel_coh_mrays : same on coherent camera-primary rays.
   visit_floor_inc_mrays: model floor for packet scenes only —
       1024 lanes / (mean union visits/packet x 0.36us/visit), where
@@ -155,18 +158,20 @@ def _harvest_rays(scene, sc, m=1 << 20, seed=9):
                       np.asarray(o3.z)], 1)[mask]
         dd = np.stack([np.asarray(d3.x), np.asarray(d3.y),
                        np.asarray(d3.z)], 1)[mask]
-        # Guard against sparse harvests: tiling a handful of survivors
-        # to m rays makes an artificially coherent batch and an absurd
-        # SOL ceiling. Require a meaningful survivor population.
+        # NO TILING. The round-4 harvest tiled survivors up to m rays;
+        # duplicates sort adjacent and fill packets with identical rays,
+        # overstating the ceiling ~3x (6.49 "SOL" vs 2.12 measured on
+        # real pool rays, round5_evidence/trace_decomp.txt). Truncate to
+        # whole packets of UNIQUE rays instead.
         if o.shape[0] < 1024:
             raise ValueError(
                 f"_harvest_rays: only {o.shape[0]} {what} survivors "
                 f"(< 1024); harvested SOL would be meaningless")
-        print(f"harvest {what}: {o.shape[0]} survivors tiled to {m}",
+        quantum = 1024
+        keep = min(m, (o.shape[0] // quantum) * quantum)
+        print(f"harvest {what}: {o.shape[0]} survivors, using {keep}",
               flush=True)
-        reps = -(-m // o.shape[0])
-        o = np.tile(o, (reps, 1))[:m]
-        dd = np.tile(dd, (reps, 1))[:m]
+        o, dd = o[:keep], dd[:keep]
         return (V3(*(jnp.asarray(o[:, i]) for i in range(3))),
                 V3(*(jnp.asarray(dd[:, i]) for i in range(3))))
 
@@ -208,7 +213,8 @@ def _ray_batches_primary(scene, m):
 SOL_CHAIN_K = 8
 
 
-def _timed_mrays(static, g, org, d, m):
+def _timed_mrays(static, g, org, d, m=None, tnear=1e-4, tfar=None,
+                 sort_hint=None):
     import jax
     import jax.numpy as jnp
 
@@ -217,6 +223,8 @@ def _timed_mrays(static, g, org, d, m):
     from gdpt_tpu.core.soa import V3
 
     import functools
+
+    n = org.x.shape[0]
 
     @functools.partial(jax.jit, static_argnums=())
     def run():
@@ -228,8 +236,9 @@ def _timed_mrays(static, g, org, d, m):
             # (pallas_intersect.py intersect_brute_pallas).
             eps = 1e-20 * acc
             org2 = V3(org.x + eps, org.y, org.z)
-            hit, _ = trs.intersect_soa_gn(static, g, org2, d,
-                                          1e-4, BIG)
+            hit, _ = trs.intersect_soa_gn(
+                static, g, org2, d, tnear,
+                BIG if tfar is None else tfar, sort_hint=sort_hint)
             return acc + hit.t[0]
         return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
                                  jnp.float32(0.0))
@@ -240,10 +249,10 @@ def _timed_mrays(static, g, org, d, m):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return m * SOL_CHAIN_K / best / 1e6
+    return n * SOL_CHAIN_K / best / 1e6
 
 
-def _timed_occluded_mrays(static, g, org, d, m):
+def _timed_occluded_mrays(static, g, org, d, m=None):
     import jax
     import jax.numpy as jnp
 
@@ -251,13 +260,15 @@ def _timed_occluded_mrays(static, g, org, d, m):
     from gdpt_tpu.core.dtypes import BIG
     from gdpt_tpu.core.soa import V3
 
+    n = org.x.shape[0]
+
     @jax.jit
     def run():
         def body(_, acc):
             eps = 1e-20 * acc  # anti-hoist via origins; tnear static
             org2 = V3(org.x + eps, org.y, org.z)
             occ = trs.occluded_soa(static, g, org2, d, 1e-4,
-                                   jnp.full(m, BIG))
+                                   jnp.full(n, BIG))
             return acc + occ[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
                                  jnp.float32(0.0))
@@ -268,7 +279,7 @@ def _timed_occluded_mrays(static, g, org, d, m):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return m * SOL_CHAIN_K / best / 1e6
+    return n * SOL_CHAIN_K / best / 1e6
 
 
 def measure_vpu_peak():
@@ -330,18 +341,39 @@ def measure_kernels():
             "backend": ("brute" if scene.static.use_brute_force else
                         "packet" if sc.geom.packet is not None else "super16"),
             "platform": platform,
+            "methodology": "r5: chained dispatch, untiled harvests, "
+                           "pool rays for packet configs",
             "sol_kernel_coh_mrays": round(_timed_mrays(
-                scene.static, sc.geom, *coh, m), 2),
+                scene.static, sc.geom, *coh), 2),
             "sol_kernel_inc_mrays": round(_timed_mrays(
-                scene.static, sc.geom, *inc, m), 2),
+                scene.static, sc.geom, *inc), 2),
             # Harvested in-render distributions: bounce-1 scatter rays
             # (closest-hit) and NEE shadow rays (any-hit) — the honest
             # per-workload ceilings.
             "sol_kernel_bounce_mrays": round(_timed_mrays(
-                scene.static, sc.geom, *bounce, m), 2),
+                scene.static, sc.geom, *bounce), 2),
             "sol_kernel_shadow_mrays": round(_timed_occluded_mrays(
-                scene.static, sc.geom, *shadow, m), 2),
+                scene.static, sc.geom, *shadow), 2),
         }
+        if row["backend"] == "packet":
+            # THE render ceiling for wavefront configs: the kernel on
+            # captured steady-state pool rays (mixed bounce depths,
+            # exactly the extension trace's population), traced with
+            # the same per-lane tnear the render uses; everything
+            # else above is easier than this.
+            import jax.numpy as jnp
+
+            from gdpt_tpu.core.soa import V3
+            from tools.wavefront_visits import capture_pool_rays
+
+            rays = capture_pool_rays(scene, warm_chunks=3, pool=1 << 18)
+            porg = V3(*(jnp.asarray(rays[k]) for k in ("ox", "oy", "oz")))
+            pd = V3(*(jnp.asarray(rays[k]) for k in ("dx", "dy", "dz")))
+            pb = jnp.asarray(rays["bounce"])
+            ptn = jnp.where(pb == 0, 0.0,
+                            scene.static.intersection_epsilon)
+            row["sol_kernel_pool_mrays"] = round(_timed_mrays(
+                scene.static, sc.geom, porg, pd, tnear=ptn), 2)
         if row["backend"] == "brute":
             # The standalone brute dispatch streams (T, N) broadcasts
             # through HBM, which the fused in-render code never

@@ -222,6 +222,95 @@ def build(tab, n_visits, mode, n_tris=None):
             m2 = or_scalar(bits2) & tab_ref[srow2, 120]
             spr[1] = spr[1] | m | m2
 
+        def super_leaf(srow, lrow):
+            # Interleaved super-slab + leaf-intersect bodies (the mixed
+            # case of a dual-packet kernel iteration). Counts as 2
+            # visits. Interleave at the k/j granularity: 16 super
+            # children zip with 12 leaf tris.
+            row_i = tab_ref[srow, :]
+            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            lrow_i = tab_ref[lrow, :]
+            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+            best = t_o[...]
+            bits = jnp.zeros((P, 128), jnp.int32)
+            best_t = t_o[...]
+            prim_b = prim_o[...]
+            for k in range(16):
+                b = k * 6
+                t0x = rowf[b + 0] * inv.x - oinv.x
+                t1x = rowf[b + 3] * inv.x - oinv.x
+                t0y = rowf[b + 1] * inv.y - oinv.y
+                t1y = rowf[b + 4] * inv.y - oinv.y
+                t0z = rowf[b + 2] * inv.z - oinv.z
+                t1z = rowf[b + 5] * inv.z - oinv.z
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best))
+                bits = bits | jnp.where(t_in <= t_out,
+                                        jnp.int32(1 << k), 0)
+                if k < LEAF_TRIS:
+                    j = k
+                    b2 = j * 9
+                    v0 = V3(lrowf[b2 + 0], lrowf[b2 + 1], lrowf[b2 + 2])
+                    e1 = V3(lrowf[b2 + 3], lrowf[b2 + 4], lrowf[b2 + 5])
+                    e2 = V3(lrowf[b2 + 6], lrowf[b2 + 7], lrowf[b2 + 8])
+                    pid = lrow_i[108 + j]
+                    pvec = soa.cross(d, e2)
+                    det = soa.dot(e1, pvec)
+                    inv_det = jnp.where(
+                        det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                    tvec = org - v0
+                    uu = soa.dot(tvec, pvec) * inv_det
+                    qvec = soa.cross(tvec, e1)
+                    vv = soa.dot(d, qvec) * inv_det
+                    tt = soa.dot(e2, qvec) * inv_det
+                    hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                           & (uu + vv <= 1) & (tt >= tnear)
+                           & (tt < best_t) & (pid >= 0))
+                    prim_b = jnp.where(hit, pid, prim_b)
+                    best_t = jnp.where(hit, tt, best_t)
+            t_o[...] = best_t
+            prim_o[...] = prim_b
+            m = or_scalar(bits) & tab_ref[srow, 120]
+            spr[1] = spr[1] | m
+
+        def leaf_visit2(lrow, lrow2):
+            # Two interleaved leaf bodies (counts as 2 visits).
+            lrow_i = tab_ref[lrow, :]
+            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+            lrow_i2 = tab_ref[lrow2, :]
+            lrowf2 = jax.lax.bitcast_convert_type(lrow_i2, jnp.float32)
+            best_t = t_o[...]
+            prim_b = prim_o[...]
+            for j in range(LEAF_TRIS):
+                b = j * 9
+                for rf, ri in ((lrowf, lrow_i), (lrowf2, lrow_i2)):
+                    v0 = V3(rf[b + 0], rf[b + 1], rf[b + 2])
+                    e1 = V3(rf[b + 3], rf[b + 4], rf[b + 5])
+                    e2 = V3(rf[b + 6], rf[b + 7], rf[b + 8])
+                    pid = ri[108 + j]
+                    pvec = soa.cross(d, e2)
+                    det = soa.dot(e1, pvec)
+                    inv_det = jnp.where(
+                        det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                    tvec = org - v0
+                    uu = soa.dot(tvec, pvec) * inv_det
+                    qvec = soa.cross(tvec, e1)
+                    vv = soa.dot(d, qvec) * inv_det
+                    tt = soa.dot(e2, qvec) * inv_det
+                    hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                           & (uu + vv <= 1) & (tt >= tnear)
+                           & (tt < best_t) & (pid >= 0))
+                    prim_b = jnp.where(hit, pid, prim_b)
+                    best_t = jnp.where(hit, tt, best_t)
+            t_o[...] = best_t
+            prim_o[...] = prim_b
+
         def body(carry):
             it = carry
             # Dynamic, data-dependent row index (same class of VMEM
@@ -230,8 +319,14 @@ def build(tab, n_visits, mode, n_tris=None):
             if mode == "super":
                 super_visit(srow)
             elif mode == "super2":
-                srow2 = (it * 2654435761 & 0x7FFFFFFF) % R
+                srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
                 super_visit2(srow, srow2)
+            elif mode == "super_leaf":
+                srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
+                super_leaf(srow, srow2)
+            elif mode == "leaf2":
+                srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
+                leaf_visit2(srow, srow2)
             elif mode == "super_sld":
                 super_visit_sld(srow)
             elif mode == "leaf":
@@ -242,7 +337,9 @@ def build(tab, n_visits, mode, n_tris=None):
                 spr[1] = spr[1] | tab_ref[srow, 120]
             return it + 1
 
-        n_iters = n_visits // 2 if mode == "super2" else n_visits
+        n_iters = (n_visits // 2
+                   if mode in ("super2", "super_leaf", "leaf2")
+                   else n_visits)
         jax.lax.while_loop(lambda it: it < n_iters, body, jnp.int32(0))
 
     M = P

@@ -30,17 +30,19 @@ import numpy as np
 NPZ = "/tmp/wavefront_rays.npz"
 
 
-def capture(scene_path, warm_chunks=3, pool=1 << 18):
+def capture_pool_rays(scene, warm_chunks=3, pool=1 << 18):
+    """Run the path wavefront to steady state on the current backend
+    and return the post-regen ray stream of the next iteration — the
+    exact population the extension trace dispatches on. Returns a dict
+    of numpy arrays (ox..dz, bounce)."""
     import jax
     import jax.numpy as jnp
 
     from gdpt_tpu.core import soa
-    from gdpt_tpu.core.dtypes import BIG, REAL
+    from gdpt_tpu.core.dtypes import REAL
     from gdpt_tpu.core.soa import V3
     from gdpt_tpu.integrators import path_soa as ps
-    from gdpt_tpu.scene import parser
 
-    scene, _ = parser.parse_scene(scene_path)
     static = scene.static
     camera = scene.device.camera
     n_pix = static.width * static.height
@@ -84,14 +86,20 @@ def capture(scene_path, warm_chunks=3, pool=1 << 18):
     org = soa.where(issue, porg, st["org"])
     d = soa.where(issue, pd, st["d"])
     bounce = jnp.where(issue, 0, st["bounce"])
-    np.savez(NPZ,
-             ox=np.asarray(org.x), oy=np.asarray(org.y),
-             oz=np.asarray(org.z),
-             dx=np.asarray(d.x), dy=np.asarray(d.y), dz=np.asarray(d.z),
-             bounce=np.asarray(bounce),
-             alive=np.ones(pool, np.float32))
-    hist = np.bincount(np.asarray(bounce), minlength=8)
-    print(f"captured {pool} post-regen rays -> {NPZ}; "
+    return dict(
+        ox=np.asarray(org.x), oy=np.asarray(org.y), oz=np.asarray(org.z),
+        dx=np.asarray(d.x), dy=np.asarray(d.y), dz=np.asarray(d.z),
+        bounce=np.asarray(bounce))
+
+
+def capture(scene_path, warm_chunks=3, pool=1 << 18):
+    from gdpt_tpu.scene import parser
+
+    scene, _ = parser.parse_scene(scene_path)
+    rays = capture_pool_rays(scene, warm_chunks=warm_chunks, pool=pool)
+    np.savez(NPZ, alive=np.ones(rays["ox"].shape[0], np.float32), **rays)
+    hist = np.bincount(rays["bounce"], minlength=8)
+    print(f"captured {rays['ox'].shape[0]} post-regen rays -> {NPZ}; "
           f"bounce histogram: {hist[:8].tolist()}", flush=True)
 
 
