@@ -70,6 +70,13 @@ PACKET_ROWS = int(__import__("os").environ.get("GDPT_PACKET_ROWS", "8"))  # rays
 # masked_push parameter instead of the env.
 MASKED_STACK = __import__("os").environ.get(
     "GDPT_PACKET_MASKSTACK", "0") == "1"
+# Dual-packet kernel (two packets per grid step, visit bodies emitted
+# interleaved to hide the scalar-load -> vector-broadcast latency each
+# solo body stalls on; see _make_kernel_dual). Read ONCE at import for
+# the same jit-cache-key reason as MASKED_STACK; tests/A-Bs select it
+# explicitly via _trace_packets(dual=...).
+DUAL_PACKET = __import__("os").environ.get(
+    "GDPT_PACKET_DUAL", "0") == "1"
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
 # The floor of 8 is hardware-imposed: ray blocks are BlockSpec((P, 128))
@@ -745,11 +752,292 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
     return kernel
 
 
+def _make_kernel_dual(stack_n, n_tris, any_hit, ceiling, n_rows):
+    """TWO independent packets per grid step, one visit each per while
+    iteration, with the two visit bodies emitted INTERLEAVED in one
+    straight-line block so the scalar row loads of one packet overlap
+    the vector slab/intersect math of the other.
+
+    Motivation (tools/visit_microbench.py on the real table): the solo
+    super body costs +0.74 us/visit over the bare loop, but two
+    interleaved super bodies cost +0.37 each (super2 mode); leaf pairs
+    0.25 -> 0.18; mixed pairs ~-10%. The solo kernel is latency-bound
+    on the serialized scalar-load -> vector-broadcast chain per child;
+    a second independent packet fills the stalls.
+
+    MEASURED SLOWER on TPU v5e (tools/ab_dual_kernel.py, disney
+    steady-state pool rays, 2026-08-19): dual 2.20 vs solo 2.56
+    Mrays/s (-14%); harvested bounce 3.48 vs 3.90; shadow any-hit tie
+    (20.0 vs 20.1). The microbench win did not survive the full
+    kernel: the two packets' pops desynchronize (one drains or goes
+    leaf-heavy while the other walks supers), so most iterations pay
+    the fused four-way dispatch for one packet's progress. Kept as a
+    documented negative result / opt-in A/B knob (GDPT_PACKET_DUAL=1),
+    correctness-locked by tests/test_packet.py::test_dual_kernel.
+
+    Implementation notes:
+    - Ray block is (2*PACKET_ROWS, 128): packet A = rows [0, P), packet
+      B = rows [P, 2P). Each packet keeps its own SMEM stack and stack
+      pointer (spr[0]/spr[1]); the while loop runs until BOTH drain.
+    - Each iteration pops one node per live packet and dispatches ONE
+      of four fused bodies (super+super / super+leaf / leaf+super /
+      leaf+leaf). An idle or drained packet is typed as a zero-commit
+      "super" visiting row 0: the body runs (cost is hidden under the
+      live packet's work) but its mask is discarded and its stack
+      untouched.
+    - Legacy ordered-push scheme only (the masked-stack variant is a
+      documented negative result; pairing it is not worth the code).
+    """
+
+    def kernel(tab_ref, ox, oy, oz, dx, dy, dz, tn, tf, rref,
+               t_o, prim_o, wscrA, wscrB, stkA, stkB, spr):
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        P = PACKET_ROWS
+        R = n_rows
+        t_o[...] = tf[...]
+        prim_o[...] = jnp.full((2 * P, 128), -1, jnp.int32)
+        if any_hit:
+            prim_o[...] = jnp.where(tn[...] > tf[...], 0, prim_o[...])
+        stkA[0] = rref[0, 0]
+        stkB[0] = rref[P, 0]
+
+        def or_scalar(w, wscr):
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                w = w | pltpu.roll(w, sh, axis=1)
+            sh = P // 2
+            while sh:
+                w = w | pltpu.roll(w, sh, axis=0)
+                sh //= 2
+            wscr[...] = w
+            return wscr[0, 0]
+
+        def _inv(c):
+            tiny = jnp.abs(c) < 1e-18
+            return 1.0 / jnp.where(tiny, jnp.where(c < 0, -1e-20, 1e-20), c)
+
+        class Ctx:
+            pass
+
+        def mk_ctx(r0, wscr, stk, spr_i):
+            c = Ctx()
+            c.sl = slice(r0, r0 + P)
+            c.org = V3(ox[c.sl, :], oy[c.sl, :], oz[c.sl, :])
+            c.d = V3(dx[c.sl, :], dy[c.sl, :], dz[c.sl, :])
+            c.inv = V3(_inv(c.d.x), _inv(c.d.y), _inv(c.d.z))
+            c.oinv = V3(c.org.x * c.inv.x, c.org.y * c.inv.y,
+                        c.org.z * c.inv.z)
+            c.tnear = tn[c.sl, :]
+            c.sx, c.sy, c.sz = dx[r0, 0], dy[r0, 0], dz[r0, 0]
+            c.wscr = wscr
+            c.stk = stk
+            c.spr_i = spr_i
+            return c
+
+        A = mk_ctx(0, wscrA, stkA, 0)
+        B = mk_ctx(P, wscrB, stkB, 1)
+
+        def super_steps(c, rowf):
+            """Generator of per-child op bundles for one super body;
+            yields after each child so two bodies can be zipped."""
+            best = t_o[c.sl, :]
+            bits = jnp.zeros((P, 128), jnp.int32)
+            for k in range(16):
+                b = k * 6
+                t0x = rowf[b + 0] * c.inv.x - c.oinv.x
+                t1x = rowf[b + 3] * c.inv.x - c.oinv.x
+                t0y = rowf[b + 1] * c.inv.y - c.oinv.y
+                t1y = rowf[b + 4] * c.inv.y - c.oinv.y
+                t0z = rowf[b + 2] * c.inv.z - c.oinv.z
+                t1z = rowf[b + 5] * c.inv.z - c.oinv.z
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), c.tnear))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best))
+                bits = bits | jnp.where(t_in <= t_out,
+                                        jnp.int32(1 << k), 0)
+                yield None
+            c.bits = bits
+            yield None
+
+        def leaf_steps(c, lrow_i, lrowf, com):
+            """Generator of per-tri op bundles for one leaf body. com:
+            scalar 0/1 commit (idle packets keep their buffers)."""
+            best_t = t_o[c.sl, :]
+            prim_b = prim_o[c.sl, :]
+            commit = com != 0
+            for j in range(LEAF_TRIS):
+                b = j * 9
+                v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
+                e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
+                e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
+                pid = lrow_i[108 + j]
+                pvec = soa.cross(c.d, e2)
+                det = soa.dot(e1, pvec)
+                inv_det = jnp.where(
+                    det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                tvec = c.org - v0
+                uu = soa.dot(tvec, pvec) * inv_det
+                qvec = soa.cross(tvec, e1)
+                vv = soa.dot(c.d, qvec) * inv_det
+                tt = soa.dot(e2, qvec) * inv_det
+                hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                       & (uu + vv <= 1) & (tt >= c.tnear)
+                       & (tt < best_t) & (pid >= 0))
+                if n_tris is not None:
+                    is_sph = pid >= n_tris
+                    sv = c.org - v0
+                    r = e1.x
+                    a2 = soa.dot(c.d, c.d)
+                    inv_a = 1.0 / jnp.where(a2 != 0, a2, 1.0)
+                    tm = -soa.dot(c.d, sv) * inv_a
+                    mm = sv + c.d * tm
+                    disc = r * r - soa.dot(mm, mm)
+                    dtq = jnp.sqrt(jnp.maximum(disc, 0.0) * inv_a)
+                    s0 = tm - dtq
+                    s1 = tm + dtq
+                    use_lo = (s0 >= c.tnear) & (s0 < best_t)
+                    use_hi = (s1 >= c.tnear) & (s1 < best_t)
+                    ts = jnp.where(use_lo, s0, s1)
+                    hs = ((disc >= 0) & (a2 != 0) & (use_lo | use_hi)
+                          & (pid >= 0))
+                    tt = jnp.where(is_sph, ts, tt)
+                    hit = (is_sph & hs) | (~is_sph & hit)
+                hit = hit & commit
+                prim_b = jnp.where(hit, pid, prim_b)
+                best_t = jnp.where(hit, tt, best_t)
+                yield None
+            if any_hit:
+                # Collapse hit lanes' intervals (idempotent; see the
+                # solo kernel's visit_leaf note).
+                best_t = jnp.where(prim_b >= 0, jnp.float32(-3e38), best_t)
+            t_o[c.sl, :] = best_t
+            prim_o[c.sl, :] = prim_b
+            if any_hit:
+                pending = jnp.where(prim_b < 0, jnp.int32(1), 0)
+                done = or_scalar(pending, c.wscr) == 0
+
+                @pl.when(commit & done)
+                def _():
+                    spr[c.spr_i] = 0
+            yield None
+
+        def drain(*gens):
+            # Round-robin the generators so the emitted instruction
+            # streams interleave (the whole point of the dual kernel).
+            gens = list(gens)
+            while gens:
+                gens = [g for g in gens if next(g, StopIteration)
+                        is not StopIteration]
+
+        def push_super(c, srow, sp, com):
+            """Ordered child push, gated on commit. sp = stack top after
+            the pop; idle packets leave spr[c.spr_i] untouched (it was
+            pre-set to their unchanged sp)."""
+            mask = or_scalar(c.bits, c.wscr) & tab_ref[srow, 120]
+            axis = tab_ref[srow, 121]
+            sgn = jnp.where(axis == 0, c.sx,
+                            jnp.where(axis == 1, c.sy, c.sz))
+
+            def push(ks):
+                sp2 = sp
+                for k in ks:
+                    ref_k = tab_ref[srow, 96 + k]
+                    c.stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
+                    sp2 = sp2 + ((mask >> k) & 1)
+                spr[c.spr_i] = jnp.minimum(sp2, stack_n - 1)
+
+            @pl.when((com != 0) & (sgn > 0))
+            def _():
+                push(range(15, -1, -1))
+
+            @pl.when((com != 0) & (sgn <= 0))
+            def _():
+                push(range(16))
+
+        def side_state(c, sp):
+            act = sp > 0
+            pop = jnp.maximum(sp - 1, 0)
+            node = c.stk[pop]
+            is_super = node >= 0
+            as_super = jnp.logical_or(is_super, jnp.logical_not(act))
+            com_s = jnp.where(act & is_super, jnp.int32(1), 0)
+            srow = jnp.clip(jnp.where(as_super & (node >= 0), node, 0),
+                            0, R - 1)
+            lrow = jnp.clip(jnp.where(is_super, 0, ~node)
+                            & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+            base = jnp.where(act, sp - 1, sp)
+            return act, as_super, com_s, srow, lrow, base
+
+        def body(carry):
+            it, spA, spB = carry
+            actA, supA, comA, srowA, lrowA, baseA = side_state(A, spA)
+            actB, supB, comB, srowB, lrowB, baseB = side_state(B, spB)
+            # Default next-sp = post-pop; pushes/any-hit-done overwrite.
+            spr[0] = baseA
+            spr[1] = baseB
+
+            @pl.when(supA & supB)
+            def _():
+                rA = jax.lax.bitcast_convert_type(
+                    tab_ref[srowA, :], jnp.float32)
+                rB = jax.lax.bitcast_convert_type(
+                    tab_ref[srowB, :], jnp.float32)
+                drain(super_steps(A, rA), super_steps(B, rB))
+                push_super(A, srowA, baseA, comA)
+                push_super(B, srowB, baseB, comB)
+
+            @pl.when(supA & jnp.logical_not(supB))
+            def _():
+                rA = jax.lax.bitcast_convert_type(
+                    tab_ref[srowA, :], jnp.float32)
+                liB = tab_ref[lrowB, :]
+                lfB = jax.lax.bitcast_convert_type(liB, jnp.float32)
+                drain(super_steps(A, rA),
+                      leaf_steps(B, liB, lfB, jnp.int32(1)))
+                push_super(A, srowA, baseA, comA)
+
+            @pl.when(jnp.logical_not(supA) & supB)
+            def _():
+                liA = tab_ref[lrowA, :]
+                lfA = jax.lax.bitcast_convert_type(liA, jnp.float32)
+                rB = jax.lax.bitcast_convert_type(
+                    tab_ref[srowB, :], jnp.float32)
+                drain(leaf_steps(A, liA, lfA, jnp.int32(1)),
+                      super_steps(B, rB))
+                push_super(B, srowB, baseB, comB)
+
+            @pl.when(jnp.logical_not(supA) & jnp.logical_not(supB))
+            def _():
+                liA = tab_ref[lrowA, :]
+                lfA = jax.lax.bitcast_convert_type(liA, jnp.float32)
+                liB = tab_ref[lrowB, :]
+                lfB = jax.lax.bitcast_convert_type(liB, jnp.float32)
+                drain(leaf_steps(A, liA, lfA, jnp.int32(1)),
+                      leaf_steps(B, liB, lfB, jnp.int32(1)))
+
+            return (it + 1, spr[0], spr[1])
+
+        def cond(carry):
+            return ((carry[1] > 0) | (carry[2] > 0)) & (carry[0] < ceiling)
+
+        jax.lax.while_loop(cond, body,
+                           (jnp.int32(0), jnp.int32(1), jnp.int32(1)))
+
+    return kernel
+
+
 @functools.partial(jax.jit, static_argnames=("n_tris", "any_hit",
-                                             "interpret", "masked_push"))
+                                             "interpret", "masked_push",
+                                             "dual"))
 def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
                    rref=None, n_tris=None, any_hit=False, interpret=False,
-                   masked_push=None):
+                   masked_push=None, dual=None):
     """Inputs shaped (M, 128); M a multiple of PACKET_ROWS. rref: per-lane
     traversal-root refs, uniform within each packet (None = table root).
     Returns (t, prim) only — see _make_kernel."""
@@ -761,14 +1049,10 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     R = int(tab.table.shape[0])
     stack_n = int(tab.stack_dummy.shape[0])
     ceiling = _DEBUG_CEILING if _DEBUG_CEILING else 4 * R + 64
-    grid = (M // P,)
-    ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
     if masked_push is None:
         masked_push = MASKED_STACK
-    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R,
-                        masked_push=masked_push)
-    out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
-                 jax.ShapeDtypeStruct((M, 128), jnp.int32)]
+    if dual is None:
+        dual = DUAL_PACKET
     if rref is None:
         rref = jnp.zeros((M, 128), jnp.int32)
     # Mosaic's default scoped-VMEM budget is 16 MiB; big-scene tables
@@ -776,6 +1060,48 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     # the v5e 128 MiB VMEM, so raise the per-kernel limit to the table
     # plus headroom for ray blocks/outputs/scratch.
     vmem_limit = min(int(tab.table.nbytes) + (8 << 20), 120 << 20)
+    if dual and not masked_push:
+        # Dual-packet grid: blocks of 2 packets; odd packet counts get
+        # one packet of dead padding (tf = -1 < tn exits at the root).
+        if (M // P) % 2 == 1:
+            padr = [(0, P), (0, 0)]
+            ox, oy, oz = (jnp.pad(a, padr) for a in (ox, oy, oz))
+            dx = jnp.pad(dx, padr, constant_values=1.0)
+            dy, dz, tn = (jnp.pad(a, padr) for a in (dy, dz, tn))
+            tf = jnp.pad(tf, padr, constant_values=-1.0)
+            rref = jnp.pad(rref, padr)
+        M2 = ox.shape[0]
+        grid = (M2 // (2 * P),)
+        ray_spec = pl.BlockSpec((2 * P, 128), lambda g: (g, 0))
+        kern = _make_kernel_dual(stack_n, n_tris, any_hit, ceiling, R)
+        out_shape = [jax.ShapeDtypeStruct((M2, 128), jnp.float32),
+                     jax.ShapeDtypeStruct((M2, 128), jnp.int32)]
+        f = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            + [ray_spec] * 9,
+            out_specs=[ray_spec] * 2,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=max(vmem_limit, 32 << 20)),
+            scratch_shapes=[
+                pltpu.VMEM((P, 128), jnp.int32),
+                pltpu.VMEM((P, 128), jnp.int32),
+                pltpu.SMEM((stack_n,), jnp.int32),
+                pltpu.SMEM((stack_n,), jnp.int32),
+                pltpu.SMEM((2,), jnp.int32),
+            ],
+            interpret=interpret,
+        )
+        t, prim = f(tab.table, ox, oy, oz, dx, dy, dz, tn, tf, rref)
+        return t[:M], prim[:M]
+    grid = (M // P,)
+    ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
+    kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R,
+                        masked_push=masked_push)
+    out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
+                 jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     f = pl.pallas_call(
         kern,
         grid=grid,

@@ -405,3 +405,42 @@ def test_masked_stack_matches_brute_force():
     occ = np.asarray(pt.occluded_packet(
         tab, _v3(org), _v3(d), 1e-4, 1e9, interpret=True, masked_push=True))
     assert (occ == (bp >= 0)).all()
+
+
+def test_dual_kernel_matches_solo():
+    """dual=True opts into the dual-packet kernel (two packets per grid
+    step, interleaved visit bodies) — measured slower on TPU v5e
+    (tools/ab_dual_kernel.py: pool 2.20 vs 2.56 Mrays/s) but kept as
+    an A/B knob; it must stay trace-identical to the solo kernel.
+    Selected via the explicit _trace_packets parameter (the env is
+    read once at import). Odd packet counts exercise the dead-padding
+    packet the dual grid adds."""
+    v0, v1, v2 = _soup(1200, seed=21)
+    tab, e1, e2 = _table(v0, v1, v2)
+    assert tab is not None
+    P = pt.PACKET_ROWS
+
+    def flat(org, d, n):
+        cols = [jnp.asarray(org[:, i].reshape(-1, 128)) for i in range(3)]
+        cols += [jnp.asarray(d[:, i].reshape(-1, 128)) for i in range(3)]
+        tn = jnp.full_like(cols[0], 1e-4)
+        tf = jnp.full_like(cols[0], 1e9)
+        return cols + [tn, tf]
+
+    for n_pack, any_hit in ((2, False), (3, False), (3, True)):
+        n = P * n_pack * 128
+        org, d = _rays(n, seed=22)
+        args = flat(org, d, n)
+        t_s, p_s = pt._trace_packets(tab, *args, any_hit=any_hit,
+                                     interpret=True, dual=False)
+        t_d, p_d = pt._trace_packets(tab, *args, any_hit=any_hit,
+                                     interpret=True, dual=True)
+        p_s, p_d = np.asarray(p_s), np.asarray(p_d)
+        if any_hit:
+            assert ((p_s >= 0) == (p_d >= 0)).all()
+        else:
+            assert (p_s == p_d).all()
+            good = p_s >= 0
+            np.testing.assert_allclose(np.asarray(t_s)[good],
+                                       np.asarray(t_d)[good],
+                                       rtol=1e-6, atol=1e-7)

@@ -234,7 +234,11 @@ def _timed_mrays(static, g, org, d, m=None, tnear=1e-4, tfar=None,
             # ray ORIGINS (traced arrays), not tnear: the brute pallas
             # kernel's contract takes tnear as a static python scalar
             # (pallas_intersect.py intersect_brute_pallas).
-            eps = 1e-20 * acc
+            # BOUNDED: if probe ray 0 misses, t[0]=BIG would otherwise
+            # teleport every origin off-scene and make iterations 2..K
+            # trace nothing (measured: a poisoned chain reports ~K x
+            # the honest number; tools/chain_sweep.py).
+            eps = 1e-20 * jnp.minimum(acc, 1.0)
             org2 = V3(org.x + eps, org.y, org.z)
             hit, _ = trs.intersect_soa_gn(
                 static, g, org2, d, tnear,
@@ -265,7 +269,9 @@ def _timed_occluded_mrays(static, g, org, d, m=None):
     @jax.jit
     def run():
         def body(_, acc):
-            eps = 1e-20 * acc  # anti-hoist via origins; tnear static
+            # anti-hoist via origins; tnear static. occ[0] is 0/1 so
+            # the carry stays bounded, but clamp anyway for symmetry.
+            eps = 1e-20 * jnp.minimum(acc, 1.0)
             org2 = V3(org.x + eps, org.y, org.z)
             occ = trs.occluded_soa(static, g, org2, d, 1e-4,
                                    jnp.full(n, BIG))
