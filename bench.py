@@ -104,23 +104,25 @@ def bench_config(name, make_scene, spp, sol=None):
         "platform": jax.devices()[0].platform,
     }
     srow = (sol or {}).get(name, {})
-    # Ceiling choice: brute scenes use the compute roofline (measured
-    # VPU peak / intersection flops per ray) — the standalone brute
-    # dispatch is HBM-streaming-bound and can sit BELOW the fused
-    # render, which made mfu_est > 1. Packet scenes use the measured
-    # kernel on captured steady-state pool rays (the render's own ray
-    # population; round-5 methodology), falling back to harvested
-    # bounce rays then synthetic incoherent.
-    sol_ref = (srow.get("sol_flop_floor_mrays")
-               or srow.get("sol_kernel_pool_mrays")
+    # Ceiling choice: the measured standalone traversal kernel on the
+    # most render-like ray population available — captured steady-state
+    # pool rays for packet scenes, harvested bounce rays otherwise.
+    # Since the bounded-carry chained probe fix (tools/chain_sweep.py)
+    # the measured kernel sits ABOVE the fused render for brute scenes
+    # too, so it is the honest (tighter) ceiling everywhere. If a
+    # stale/undermeasured kernel row would imply mfu > 1, brute scenes
+    # fall back to the compute roofline (measured VPU peak /
+    # intersection flops per ray) instead of emitting a meaningless
+    # number.
+    sol_ref = (srow.get("sol_kernel_pool_mrays")
                or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
-    if srow.get("backend") == "brute" and "sol_flop_floor_mrays" not in srow:
-        # Brute configs without a flop-floor row would divide by the
-        # standalone kernel number, which is RPC-latency-bound and can
-        # sit BELOW the fused render (mfu > 1, meaningless). See
-        # STATUS.md round-4 SOL remeasurement finding.
-        sol_ref = None
+    if srow.get("backend") == "brute":
+        floor = srow.get("sol_flop_floor_mrays")
+        if not sol_ref or (floor and mrays > sol_ref):
+            sol_ref = floor
+        if sol_ref and mrays > sol_ref:
+            sol_ref = None  # both ceilings stale: suppress, don't lie
     if sol_ref:
         detail["mfu_est"] = round(mrays / sol_ref, 3)
         detail["sol_ceiling_mrays"] = sol_ref
