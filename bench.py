@@ -114,7 +114,13 @@ def bench_config(name, make_scene, spp, sol=None):
     # fall back to the compute roofline (measured VPU peak /
     # intersection flops per ray) instead of emitting a meaningless
     # number.
-    sol_ref = (srow.get("sol_kernel_pool_mrays")
+    # sol_mix_ceiling_mrays (packet scenes, round 5): the render's
+    # counted rays are a mix of extension-pool and NEE shadow rays, so
+    # the ceiling is the live-ray-mix harmonic of the two per-class
+    # kernel measurements — dividing by the extension-only pool ceiling
+    # implied mfu_est 1.109 > 1 on sponza_gradpath (probe2).
+    sol_ref = (srow.get("sol_mix_ceiling_mrays")
+               or srow.get("sol_kernel_pool_mrays")
                or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
     if srow.get("backend") == "brute":

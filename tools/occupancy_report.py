@@ -8,7 +8,15 @@ derived from ray counts: rays / (iterations * width) is not directly
 observable there, so we report wall time + rays and let the wavefront
 rows carry the occupancy numbers.
 
-Usage: python tools/occupancy_report.py [sponza|disney|both]
+Usage: python tools/occupancy_report.py [sponza|disney|volpath6|both]
+                [--spp-path N] [--spp-gdpt N] [--integ path|gradpath|volpath]
+                [--mode banded|wavefront]
+
+Representative occupancy needs enough spp that the steady-state
+refill regime dominates the drain tail: at spp=1 on disney the queue
+(350k items) drains after ~2 refills of a 256k pool and the mean is
+mostly tail (measured 0.26); the default spp below keep the cost of a
+full sweep bounded, pass higher --spp-gdpt for the steady-state number.
 """
 
 import json
@@ -28,7 +36,8 @@ SCENES = {
 }
 
 
-def run(scene_path, name, spp_path=2, spp_gdpt=1):
+def run(scene_path, name, spp_path=2, spp_gdpt=1, integ_only=None,
+        mode_only=None):
     import numpy as np
 
     from gdpt_tpu.integrators import gdpt_soa, path_soa, volpath_soa
@@ -46,7 +55,11 @@ def run(scene_path, name, spp_path=2, spp_gdpt=1):
             ("gradpath", spp_gdpt, gdpt_soa.render_gradpath_soa, None),
         )
     for integ, spp, fn, wf in combos:
+        if integ_only and integ != integ_only:
+            continue
         for mode in ("banded", "wavefront"):
+            if mode_only and mode != mode_only:
+                continue
             os.environ["GDPT_WAVEFRONT"] = "0" if mode == "banded" else "1"
             t0 = time.perf_counter()
             out = fn(sc, spp=spp, seed=0, return_stats=True)
@@ -79,10 +92,20 @@ def run(scene_path, name, spp_path=2, spp_gdpt=1):
 
 
 def main():
-    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    args = sys.argv[1:]
+    which = args[0] if args and not args[0].startswith("--") else "both"
+    opts = {"--spp-path": 2, "--spp-gdpt": 1, "--integ": None,
+            "--mode": None}
+    for i, a in enumerate(args):
+        if a in ("--spp-path", "--spp-gdpt"):
+            opts[a] = int(args[i + 1])
+        elif a in ("--integ", "--mode"):
+            opts[a] = args[i + 1]
     names = list(SCENES) if which == "both" else [which]
     for n in names:
-        run(SCENES[n], n)
+        run(SCENES[n], n, spp_path=opts["--spp-path"],
+            spp_gdpt=opts["--spp-gdpt"], integ_only=opts["--integ"],
+            mode_only=opts["--mode"])
 
 
 if __name__ == "__main__":

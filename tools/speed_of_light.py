@@ -180,6 +180,66 @@ def _harvest_rays(scene, sc, m=1 << 20, seed=9):
     return bounce, shadow
 
 
+def _pool_shadow_rays(scene, sc, org, d, alive, tnear):
+    """The render's OTHER traced population: NEE shadow rays built from
+    the captured steady-state pool by the production machinery — trace
+    pool rays, shade, sample a light point, apply nee_soa's exact
+    zero-contribution thinning. Returns (origins, dirs, tfar, n_live).
+    round5_evidence/occl_ab_disney.txt: these run ~0.9 Mrays/s on disney
+    vs 5.74 for the bounce-1 harvested set — the harvested shadow
+    ceiling is NOT the render's shadow ceiling."""
+    import jax.numpy as jnp
+
+    from gdpt_tpu.accel import traverse_soa as trs
+    from gdpt_tpu.core import soa
+    from gdpt_tpu.core.dtypes import BIG
+    from gdpt_tpu.integrators import path_soa as ps
+    from gdpt_tpu.ops import materials_soa as msoa
+    from gdpt_tpu.ops import textures_soa as tsoa
+
+    static = scene.static
+    n = org.x.shape[0]
+    tfar_ext = jnp.where(alive, BIG, -1.0)
+    hit, gn_raw = trs.intersect_soa_gn(static, sc.geom, org, d, tnear,
+                                       tfar_ext)
+    v = ps.shade_hit(static, sc, org, d, hit, gn_raw)
+    used = static.used_material_kinds
+    params = msoa.gather_params_soa(
+        sc.mat_tables, used, v.material_id, v.uv_u, v.uv_v,
+        static.spec_image_slots, float_tex_slots=static.float_tex_slots,
+        fp=v.fp)
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    seed = jnp.asarray(7, jnp.uint32)
+    lu0, lu1 = soa.uniform2(seed, idx, jnp.uint32(3), 0)
+    lw, lsw = soa.uniform2(seed, idx, jnp.uint32(4), 0)
+    light_id, p_l, n_l, pdf_pt, is_env = ps.sample_light_point(
+        static, sc, v.position, lu0, lu1, lw, lsw)
+    to_l = p_l - v.position
+    dist = soa.length(to_l)
+    dl = soa.where(is_env, -1.0 * n_l,
+                   to_l * (1.0 / jnp.maximum(dist, 1e-20)))
+    g_area = (jnp.maximum(-soa.dot(dl, n_l), 0.0)
+              / jnp.maximum(dist * dist, 1e-20))
+    g_geo = jnp.where(is_env, 1.0, g_area)
+    p1 = soa.take(sc.light_pmf, light_id) * pdf_pt
+    f_nee = msoa.eval_bsdf_soa(params, -1.0 * d, dl, v.gn, v.frame, used)
+    zero3 = soa.V3(*(jnp.zeros(n) for _ in range(3)))
+    env_nee = (
+        tsoa.envmap_emission_soa(ps._env_view(static, sc),
+                                 sc.mat_tables.pool3, dl)
+        if static.has_envmap else zero3)
+    l_emit = soa.where(
+        is_env, env_nee,
+        soa.where(soa.dot(n_l, -1.0 * dl) > 0,
+                  soa.gather(sc.light_intensity, light_id), zero3))
+    need = (alive & (v.valid > 0) & (g_geo > 0) & (p1 > 0)
+            & (soa.vmax(f_nee) > 0) & (soa.vmax(l_emit) > 0))
+    eps_shadow = static.shadow_epsilon
+    tfar = jnp.where(is_env, BIG, (1.0 - eps_shadow) * dist)
+    tfar = jnp.where(need, tfar, -1.0)
+    return v.position, dl, tfar, int(jnp.sum(need))
+
+
 def _ray_batches_primary(scene, m):
     """Coherent camera-primary ray batch (m rays)."""
     import jax.numpy as jnp
@@ -214,7 +274,7 @@ SOL_CHAIN_K = 8
 
 
 def _timed_mrays(static, g, org, d, m=None, tnear=1e-4, tfar=None,
-                 sort_hint=None):
+                 sort_hint=None, live=None):
     import jax
     import jax.numpy as jnp
 
@@ -225,6 +285,7 @@ def _timed_mrays(static, g, org, d, m=None, tnear=1e-4, tfar=None,
     import functools
 
     n = org.x.shape[0]
+    counted = n if live is None else live
 
     @functools.partial(jax.jit, static_argnums=())
     def run():
@@ -253,10 +314,10 @@ def _timed_mrays(static, g, org, d, m=None, tnear=1e-4, tfar=None,
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return n * SOL_CHAIN_K / best / 1e6
+    return counted * SOL_CHAIN_K / best / 1e6
 
 
-def _timed_occluded_mrays(static, g, org, d, m=None):
+def _timed_occluded_mrays(static, g, org, d, m=None, tfar=None, live=None):
     import jax
     import jax.numpy as jnp
 
@@ -265,6 +326,8 @@ def _timed_occluded_mrays(static, g, org, d, m=None):
     from gdpt_tpu.core.soa import V3
 
     n = org.x.shape[0]
+    counted = n if live is None else live
+    tf = jnp.full(n, BIG) if tfar is None else tfar
 
     @jax.jit
     def run():
@@ -273,8 +336,7 @@ def _timed_occluded_mrays(static, g, org, d, m=None):
             # the carry stays bounded, but clamp anyway for symmetry.
             eps = 1e-20 * jnp.minimum(acc, 1.0)
             org2 = V3(org.x + eps, org.y, org.z)
-            occ = trs.occluded_soa(static, g, org2, d, 1e-4,
-                                   jnp.full(n, BIG))
+            occ = trs.occluded_soa(static, g, org2, d, 1e-4, tf)
             return acc + occ[0].astype(jnp.float32)
         return jax.lax.fori_loop(0, SOL_CHAIN_K, body,
                                  jnp.float32(0.0))
@@ -285,7 +347,7 @@ def _timed_occluded_mrays(static, g, org, d, m=None):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
-    return n * SOL_CHAIN_K / best / 1e6
+    return counted * SOL_CHAIN_K / best / 1e6
 
 
 def measure_vpu_peak():
@@ -328,7 +390,7 @@ def measure_vpu_peak():
     return 2.0 * 4 * x.size * K * U / best / 1e9
 
 
-def measure_kernels():
+def measure_kernels(only=None):
     import jax
 
     from gdpt_tpu.integrators import path_soa as ps
@@ -339,6 +401,8 @@ def measure_kernels():
     peak_gflops = measure_vpu_peak()
     print(json.dumps({"vpu_peak_gflops": round(peak_gflops, 1)}), flush=True)
     for name, path in CONFIGS:
+        if only and name not in only:
+            continue
         scene = _load(name, path)
         sc = ps.scene_soa_from_aos(scene)
         coh, inc = _ray_batches(scene, sc, m)
@@ -376,10 +440,36 @@ def measure_kernels():
             porg = V3(*(jnp.asarray(rays[k]) for k in ("ox", "oy", "oz")))
             pd = V3(*(jnp.asarray(rays[k]) for k in ("dx", "dy", "dz")))
             pb = jnp.asarray(rays["bounce"])
+            palive = jnp.asarray(rays["alive"])
             ptn = jnp.where(pb == 0, 0.0,
                             scene.static.intersection_epsilon)
+            # Dead lanes ride as dead rays (tfar < tnear) exactly like
+            # the render's extension dispatch, and only live rays count
+            # toward the ceiling (the render's Mrays/s counts live).
+            ptf = jnp.where(palive, 3e37, -1.0)
+            live_ext = int(np.asarray(palive).sum())
             row["sol_kernel_pool_mrays"] = round(_timed_mrays(
-                scene.static, sc.geom, porg, pd, tnear=ptn), 2)
+                scene.static, sc.geom, porg, pd, tnear=ptn, tfar=ptf,
+                live=live_ext), 2)
+            # Pool-ray shadow class + ray-mix composite ceiling: the
+            # render's traced rays are ~live_ext extension + live_sh
+            # NEE shadow rays per iteration; the honest denominator for
+            # mfu_est is the harmonic ray-mix of the two per-class
+            # ceilings (fixes sponza_gradpath mfu_est = 1.109 > 1 in
+            # round-5 probe2, which divided by the extension-only pool
+            # ceiling).
+            sorg, sdl, stf, live_sh = _pool_shadow_rays(
+                scene, sc, porg, pd, palive, ptn)
+            row["pool_live_ext"] = live_ext
+            row["pool_live_shadow"] = live_sh
+            if live_sh > 0:
+                row["sol_kernel_shadow_pool_mrays"] = round(
+                    _timed_occluded_mrays(scene.static, sc.geom, sorg,
+                                          sdl, tfar=stf, live=live_sh), 2)
+                mix = (live_ext + live_sh) / (
+                    live_ext / row["sol_kernel_pool_mrays"]
+                    + live_sh / row["sol_kernel_shadow_pool_mrays"])
+                row["sol_mix_ceiling_mrays"] = round(mix, 2)
         if row["backend"] == "brute":
             # The standalone brute dispatch streams (T, N) broadcasts
             # through HBM, which the fused in-render code never
@@ -459,11 +549,16 @@ def measure_visit_floors(n_packets=12):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "kernel"
+    only = None
+    for a in sys.argv[2:]:
+        if a.startswith("--only="):
+            only = set(a[len("--only="):].split(","))
     sol = {}
     if os.path.exists(SOL_PATH):
         with open(SOL_PATH) as f:
             sol = json.load(f)
-    rows = measure_kernels() if mode == "kernel" else measure_visit_floors()
+    rows = (measure_kernels(only=only) if mode == "kernel"
+            else measure_visit_floors())
     for name, row in rows.items():
         sol.setdefault(name, {}).update(row)
         for suffix in ("bounce", "inc"):

@@ -86,10 +86,12 @@ def capture_pool_rays(scene, warm_chunks=3, pool=1 << 18):
     org = soa.where(issue, porg, st["org"])
     d = soa.where(issue, pd, st["d"])
     bounce = jnp.where(issue, 0, st["bounce"])
+    alive = issue | (st["alive"] > 0)
     return dict(
         ox=np.asarray(org.x), oy=np.asarray(org.y), oz=np.asarray(org.z),
         dx=np.asarray(d.x), dy=np.asarray(d.y), dz=np.asarray(d.z),
-        bounce=np.asarray(bounce))
+        bounce=np.asarray(bounce),
+        alive=np.asarray(alive))
 
 
 def capture(scene_path, warm_chunks=3, pool=1 << 18):
@@ -97,7 +99,7 @@ def capture(scene_path, warm_chunks=3, pool=1 << 18):
 
     scene, _ = parser.parse_scene(scene_path)
     rays = capture_pool_rays(scene, warm_chunks=warm_chunks, pool=pool)
-    np.savez(NPZ, alive=np.ones(rays["ox"].shape[0], np.float32), **rays)
+    np.savez(NPZ, **rays)
     hist = np.bincount(rays["bounce"], minlength=8)
     print(f"captured {rays['ox'].shape[0]} post-regen rays -> {NPZ}; "
           f"bounce histogram: {hist[:8].tolist()}", flush=True)
