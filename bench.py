@@ -123,6 +123,19 @@ def bench_config(name, make_scene, spp, sol=None):
                or srow.get("sol_kernel_pool_mrays")
                or srow.get("sol_kernel_bounce_mrays")
                or srow.get("sol_kernel_inc_mrays"))
+    # Volumetric configs: wall time is dominated by null-collision
+    # medium marching (transmittance estimation), not intersection, so
+    # neither the intersection kernel nor the intersection flop
+    # roofline is a utilization model — in-render 91.8 Mrays/s vs a
+    # 58.6 standalone kernel (the fused render overlaps traversal with
+    # medium work) fell through to the 7168 flop floor and printed
+    # mfu_est 0.013, which is noise. Report the kernel for reference
+    # but no mfu claim.
+    if name.startswith("volpath"):
+        if srow.get("sol_kernel_bounce_mrays"):
+            detail["sol_kernel_mrays"] = srow["sol_kernel_bounce_mrays"]
+        sol_ref = None
+        srow = {}
     if srow.get("backend") == "brute":
         floor = srow.get("sol_flop_floor_mrays")
         if not sol_ref or (floor and mrays > sol_ref):
