@@ -77,6 +77,18 @@ MASKED_STACK = __import__("os").environ.get(
 # explicitly via _trace_packets(dual=...).
 DUAL_PACKET = __import__("os").environ.get(
     "GDPT_PACKET_DUAL", "0") == "1"
+
+
+def _wide_on():
+    # 32-wide supernodes (GDPT_PACKET_WIDE=1): each supernode holds 32
+    # children across TWO table rows, halving super-visit count at the
+    # cost of 16 extra slab tests per visit — the per-visit fixed cost
+    # (or_scalar readback, step dispatch, stack pop) amortizes over
+    # twice the fan-out. Read at BUILD time (build_packet_table), like
+    # GDPT_MAX_TABLE_MB; the kernel learns the width from the table's
+    # wide marker field, so jit cache keys follow the table structure
+    # and a mid-process env flip cannot select a mismatched kernel.
+    return os.environ.get("GDPT_PACKET_WIDE", "0") == "1"
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
 # The floor of 8 is hardware-imposed: ray blocks are BlockSpec((P, 128))
@@ -102,6 +114,12 @@ class PacketTable(NamedTuple):
     # table root, the correctness sentinel); entry_bbox (K+1, 6) f32.
     entry_ref: jnp.ndarray = None
     entry_bbox: jnp.ndarray = None
+    # 32-wide marker: None = 16-wide rows; a shape-(1,) dummy = each
+    # supernode spans TWO rows (children 0-15 in row A, 16-31 in row
+    # B; refs likewise at cols 96-111 of each row; 32-bit validity in
+    # row A col 120). Shape-only — the kernel width rides in the jit
+    # cache key via the pytree structure.
+    wide_dummy: jnp.ndarray = None
 
 
 def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
@@ -109,7 +127,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
                        sph_center=None, sph_radius=None,
                        leaf_skip_from=None,
                        prim_of_ref=None, ref_bbox_min=None,
-                       ref_bbox_max=None):
+                       ref_bbox_max=None, wide=None):
     """Host-side collapse of the binary miss-link BVH into the packet
     table. Returns None when the scene exceeds the VMEM residency cap.
 
@@ -131,6 +149,10 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     n_tris = tri_v0.shape[0]
     if n_nodes == 0:
         return None
+    # Supernode width: 16 children in one row (default) or 32 across
+    # two rows (wide; see _wide_on). S = rows per supernode.
+    W = 32 if (wide if wide is not None else _wide_on()) else 16
+    S = W // 16
     order = np.asarray(prim_order)
     # pid[ref] -> original primitive id (identity without pre-splits).
     pid = (np.asarray(prim_of_ref, np.int64) if prim_of_ref is not None
@@ -220,7 +242,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     premerge = os.environ.get("GDPT_EXPAND_PREMERGE", "0") == "1"
 
     def expand16(b):
-        """Split largest-first until 16 POST-MERGE child slots: leaf
+        """Split largest-first until W POST-MERGE child slots: leaf
         siblings that bin-pack into shared rows occupy one slot, so the
         freed slots take more subtree splits — a flatter tree with
         fewer supernode visits on the walk."""
@@ -229,8 +251,8 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             sups = [x for x in frontier if x not in fat_of]
             leaves = [x for x in frontier if x in fat_of]
             bins = binpack(leaves)
-            full = (len(frontier) >= 16 if premerge
-                    else len(sups) + len(bins) >= 16)
+            full = (len(frontier) >= W if premerge
+                    else len(sups) + len(bins) >= W)
             if full or not sups:
                 return sups, bins
             big = max(sups, key=lambda x: cnt_sub[x])
@@ -338,7 +360,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         leaf_groups.append(np.zeros(0, np.int32))
         group_bbox.append((np.full(3, 3e38, np.float32),
                            np.full(3, -3e38, np.float32)))
-    n_rows = n_super + len(leaf_groups)
+    n_rows = n_super * S + len(leaf_groups)
     if n_rows * 128 * 4 > _max_table_bytes():
         return None
 
@@ -346,13 +368,14 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     ti = table.view(np.int32)
     # Empty child slots: inverted boxes that no slab test can enter.
     for si in range(n_super):
-        for k in range(16):
-            table[si, k * 6 + 0: k * 6 + 3] = np.float32(3e38)
-            table[si, k * 6 + 3: k * 6 + 6] = np.float32(-3e38)
-        ti[si, 96:112] = _EMPTY
+        for r in range(S):
+            for k in range(16):
+                table[si * S + r, k * 6 + 0: k * 6 + 3] = np.float32(3e38)
+                table[si * S + r, k * 6 + 3: k * 6 + 6] = np.float32(-3e38)
+            ti[si * S + r, 96:112] = _EMPTY
 
     def group_ref(gi):
-        return np.int32(~np.int32((n_super + gi) | (1 << _CHAIN_SHIFT)))
+        return np.int32(~np.int32((n_super * S + gi) | (1 << _CHAIN_SHIFT)))
 
     for si in range(n_super):
         ents = kid_entries[si]
@@ -372,19 +395,22 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             boxes = [boxes[j] for j in sort]
         valid = 0
         for k, ((kind, x), (blo, bhi)) in enumerate(zip(ents, boxes)):
-            table[si, k * 6 + 0: k * 6 + 3] = blo
-            table[si, k * 6 + 3: k * 6 + 6] = bhi
+            r = si * S + (k >> 4)
+            kk = k & 15
+            table[r, kk * 6 + 0: kk * 6 + 3] = blo
+            table[r, kk * 6 + 3: kk * 6 + 6] = bhi
             valid |= 1 << k
-            ti[si, 96 + k] = (np.int32(super_of[x]) if kind == "s"
+            ti[r, 96 + kk] = (np.int32(super_of[x] * S) if kind == "s"
                               else group_ref(x))
-        # Col 120: child-validity bits — the slab test cannot reject an
-        # unused slot by geometry alone (inverted boxes still pass once
-        # min/max mix the +-inf slabs), so the scalar mask ANDs this in.
-        ti[si, 120] = valid
-        ti[si, 121] = axis  # sort axis for the ordered push
+        # Col 120 (row A): child-validity bits — the slab test cannot
+        # reject an unused slot by geometry alone (inverted boxes still
+        # pass once min/max mix the +-inf slabs), so the scalar mask
+        # ANDs this in. 32-wide masks use all 32 bits of the int32.
+        ti[si * S, 120] = np.int32(np.uint32(valid & 0xFFFFFFFF))
+        ti[si * S, 121] = axis  # sort axis for the ordered push
 
     for gi, prims in enumerate(leaf_groups):
-        row = n_super + gi
+        row = n_super * S + gi
         cnt = prims.shape[0]
         pids = to_pid(prims)
         table[row, : cnt * 9] = geo9[pids].reshape(-1)
@@ -392,7 +418,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         ids[:cnt] = pids
         ti[row, 108:120] = ids
 
-    stack_n = max(64, 16 * (max_depth + 1))
+    stack_n = max(64, W * (max_depth + 1))
     root_lo = bmin[0] if n_nodes else np.zeros(3, np.float32)
     root_hi = bmax[0] if n_nodes else np.ones(3, np.float32)
 
@@ -400,7 +426,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     # largest-population supernode root until ~K disjoint subtrees.
     def ref_of(c):
         if c in super_of:
-            return int(super_of[c])
+            return int(super_of[c] * S)
         gi = node_group.get(c, empty_gi)
         return int(group_ref(gi))
 
@@ -428,6 +454,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         jnp.asarray(geo9),
         jnp.asarray(entry_ref),
         jnp.asarray(entry_bbox.astype(np.float32)),
+        jnp.zeros(1, jnp.int32) if W == 32 else None,
     )
 
 
@@ -435,12 +462,20 @@ _VISITS_PER_ITER = 2  # stack visits unrolled per while iteration
 
 
 def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
-                 masked_push=True):
+                 masked_push=True, wide=False):
     """One packet per grid step. The kernel reports only (t, prim): the
     hit's u/v/geometric normal are recomputed outside from one XLA
     gather of the winning primitive, so the leaf loop carries two VMEM
     read-modify-writes instead of seven. Two stack visits run per while
     iteration to halve the loop's fixed cost (cond eval, carry).
+
+    wide: the table stores 32-child supernodes across two rows (see
+    build_packet_table W=32). A super visit loads rows srow/srow+1,
+    tests 32 boxes into one 32-bit mask (one or_scalar, same cost as
+    16), and pushes over 32 slots — half the super visits of a
+    16-wide tree at ~1.5x the per-visit cost (the slab tests are the
+    only part that doubles; the reduce/readback/step dispatch do not).
+    Legacy ordered-push only (the masked peel is 16-bit).
 
     masked_push (opt-in, GDPT_PACKET_MASKSTACK=1): a super visit
     stores ONE (row, child-mask) stack entry — two scalar stores —
@@ -507,19 +542,25 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
         # reads at static indices are free.
         sx, sy, sz = dx[0, 0], dy[0, 0], dz[0, 0]
 
+        N_KIDS = 32 if wide else 16
+
         def super_mask(srow):
             row_i = tab_ref[srow, :]
             rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            if wide:
+                row_i2 = tab_ref[srow + 1, :]
+                rowf2 = jax.lax.bitcast_convert_type(row_i2, jnp.float32)
             best = t_o[...]
             bits = jnp.zeros((P, 128), jnp.int32)
-            for k in range(16):
-                b = k * 6
-                t0x = rowf[b + 0] * inv.x - oinv.x
-                t1x = rowf[b + 3] * inv.x - oinv.x
-                t0y = rowf[b + 1] * inv.y - oinv.y
-                t1y = rowf[b + 4] * inv.y - oinv.y
-                t0z = rowf[b + 2] * inv.z - oinv.z
-                t1z = rowf[b + 5] * inv.z - oinv.z
+            for k in range(N_KIDS):
+                rf = rowf if k < 16 else rowf2
+                b = (k & 15) * 6
+                t0x = rf[b + 0] * inv.x - oinv.x
+                t1x = rf[b + 3] * inv.x - oinv.x
+                t0y = rf[b + 1] * inv.y - oinv.y
+                t1y = rf[b + 4] * inv.y - oinv.y
+                t0z = rf[b + 2] * inv.z - oinv.z
+                t1z = rf[b + 5] * inv.z - oinv.z
                 t_in = jnp.maximum(
                     jnp.maximum(jnp.minimum(t0x, t1x),
                                 jnp.minimum(t0y, t1y)),
@@ -528,8 +569,9 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
                     jnp.minimum(jnp.maximum(t0x, t1x),
                                 jnp.maximum(t0y, t1y)),
                     jnp.minimum(jnp.maximum(t0z, t1z), best))
-                bits = bits | jnp.where(t_in <= t_out,
-                                        jnp.int32(1 << k), 0)
+                bits = bits | jnp.where(
+                    t_in <= t_out,
+                    jnp.int32(int(np.int32(np.uint32(1 << k)))), 0)
             return or_scalar(bits) & tab_ref[srow, 120]
 
         def child_sign(srow):
@@ -566,7 +608,7 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
             def push(ks):
                 sp2 = sp
                 for k in ks:
-                    ref_k = tab_ref[srow, 96 + k]
+                    ref_k = tab_ref[srow + (k >> 4), 96 + (k & 15)]
                     stk[jnp.minimum(sp2, stack_n - 1)] = ref_k
                     sp2 = sp2 + ((mask >> k) & 1)
                 # A full stack drops pushes rather than writing out of
@@ -575,11 +617,11 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
 
             @pl.when(sgn > 0)
             def _():
-                push(range(15, -1, -1))
+                push(range(N_KIDS - 1, -1, -1))
 
             @pl.when(sgn <= 0)
             def _():
-                push(range(16))
+                push(range(N_KIDS))
 
         def visit_leaf(lrow):
             lrow_i = tab_ref[lrow, :]
@@ -648,8 +690,10 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
                 node = stk[sp]
                 is_super = node >= 0
                 # Clamped for BOTH interpretations: an out-of-range
-                # VMEM access can wedge the device.
-                srow = jnp.clip(jnp.where(is_super, node, 0), 0, R - 1)
+                # VMEM access can wedge the device. Wide supers also
+                # read srow + 1, so their clamp leaves room for row B.
+                srow = jnp.clip(jnp.where(is_super, node, 0), 0,
+                                R - 2 if wide else R - 1)
                 lrow = jnp.clip(
                     jnp.where(is_super, 0, ~node)
                     & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
@@ -1053,6 +1097,12 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
         masked_push = MASKED_STACK
     if dual is None:
         dual = DUAL_PACKET
+    wide = tab.wide_dummy is not None
+    if wide:
+        # The masked peel is 16-bit and the dual kernel 16-wide only;
+        # a wide table always takes the legacy ordered-push solo kernel.
+        masked_push = False
+        dual = False
     if rref is None:
         rref = jnp.zeros((M, 128), jnp.int32)
     # Mosaic's default scoped-VMEM budget is 16 MiB; big-scene tables
@@ -1099,7 +1149,7 @@ def _trace_packets(tab: PacketTable, ox, oy, oz, dx, dy, dz, tn, tf,
     grid = (M // P,)
     ray_spec = pl.BlockSpec((P, 128), lambda g: (g, 0))
     kern = _make_kernel(stack_n, n_tris, any_hit, ceiling, R,
-                        masked_push=masked_push)
+                        masked_push=masked_push, wide=wide)
     out_shape = [jax.ShapeDtypeStruct((M, 128), jnp.float32),
                  jax.ShapeDtypeStruct((M, 128), jnp.int32)]
     f = pl.pallas_call(

@@ -141,7 +141,8 @@ def scene_soa_from_aos(scene: Scene) -> SceneSoA:
     key = (id(scene.device), env.get("GDPT_PACKET", "auto"),
            env.get("GDPT_MAX_TABLE_MB", ""),
            env.get("GDPT_EXPAND_PREMERGE", ""),
-           env.get("GDPT_ENTRY_K", ""))
+           env.get("GDPT_ENTRY_K", ""),
+           env.get("GDPT_PACKET_WIDE", ""))
     hit = _SOA_MEMO.get(key)
     if hit is not None and hit[0] is scene.device:
         return hit[1]

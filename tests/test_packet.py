@@ -444,3 +444,64 @@ def test_dual_kernel_matches_solo():
             np.testing.assert_allclose(np.asarray(t_s)[good],
                                        np.asarray(t_d)[good],
                                        rtol=1e-6, atol=1e-7)
+
+
+def test_wide_table_matches_brute_force():
+    """wide=True builds 32-child supernodes across two rows (the
+    GDPT_PACKET_WIDE=1 kernel class): closest-hit, any-hit and the
+    two-phase entry walk must all reproduce brute force, and the wide
+    tree must actually be wider (fewer supernode units than 16-wide
+    has rows)."""
+    v0, v1, v2 = _soup(1500, seed=31)
+    e1, e2 = v1 - v0, v2 - v0
+    arr = gbvh.build_bvh(v0, v1, v2)
+    mk = lambda wide: pt.build_packet_table(
+        arr.bbox_min, arr.bbox_max, arr.first, arr.count, arr.miss,
+        arr.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32), wide=wide)
+    tab16, tab32 = mk(False), mk(True)
+    assert tab16.wide_dummy is None and tab32.wide_dummy is not None
+    org, d = _rays(1024, seed=32)
+    bt, bp = _brute(v0, e1, e2, org, d)
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab32, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    prim = np.asarray(prim)
+    assert (prim == bp).mean() == 1.0
+    good = bp >= 0
+    assert good.mean() > 0.15
+    np.testing.assert_allclose(np.asarray(t)[good], bt[good],
+                               rtol=1e-3, atol=1e-4)
+    occ = np.asarray(pt.occluded_packet(
+        tab32, _v3(org), _v3(d), 1e-4, 1e9, interpret=True))
+    assert (occ == (bp >= 0)).all()
+    t2, p2, _, _, _ = pt.trace_two_phase(
+        tab32, _v3(org), _v3(d), 1e-4, 1e9, interpret=True)
+    assert (np.asarray(p2) == bp).mean() == 1.0
+
+
+def test_wide_table_sphere_slots_and_padding():
+    """Wide tables with in-table spheres and a non-multiple-of-1024
+    ray count (padded tail + sphere leaf branch under the 32-wide
+    kernel)."""
+    v0, v1, v2 = _soup(200, seed=33)
+    e1, e2 = v1 - v0, v2 - v0
+    sc = np.array([[0.0, 0.0, 20.0]], np.float32)
+    sr = np.array([2.0], np.float32)
+    arr2 = gbvh.build_bvh(v0, v1, v2, sph_center=sc, sph_radius=sr)
+    tab = pt.build_packet_table(
+        arr2.bbox_min, arr2.bbox_max, arr2.first, arr2.count, arr2.miss,
+        arr2.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32), sph_center=sc, sph_radius=sr, wide=True)
+    assert tab is not None and tab.wide_dummy is not None
+    nr = 777  # pads to whole packets; tail lanes must stay dead
+    org = np.tile(np.array([[0.0, 0.0, 40.0]], np.float32), (nr, 1))
+    org[:, 0] = np.linspace(-1.5, 1.5, nr)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (nr, 1))
+    t, prim, u, v, gn = pt.intersect_packet(
+        tab, _v3(org), _v3(d), 1e-4, 1e9, n_tris=200, interpret=True)
+    prim = np.asarray(prim)
+    t = np.asarray(t)
+    inside = np.abs(org[:, 0]) < 1.99
+    assert (prim[inside] == 200).all()
+    np.testing.assert_allclose(
+        t[inside], 20.0 - np.sqrt(4.0 - org[inside, 0] ** 2), rtol=1e-4)

@@ -222,6 +222,43 @@ def build(tab, n_visits, mode, n_tris=None):
             m2 = or_scalar(bits2) & tab_ref[srow2, 120]
             spr[1] = spr[1] | m | m2
 
+        def super_visit32(srow, srow2):
+            # Model of a 32-WIDE supernode visit (2 table rows, one
+            # 32-bit child mask, ONE or_scalar reduce): the candidate
+            # next kernel class named in STATUS.md. Unlike super2 (two
+            # independent visits, two reduces), this is one visit that
+            # replaces TWO 16-wide visits in a reshaped tree, so its
+            # per-call cost should be compared against 2x the solo
+            # super cost. Counts as 1 visit.
+            row_i = tab_ref[srow, :]
+            rowf = jax.lax.bitcast_convert_type(row_i, jnp.float32)
+            row_i2 = tab_ref[srow2, :]
+            rowf2 = jax.lax.bitcast_convert_type(row_i2, jnp.float32)
+            best = t_o[...]
+            bits = jnp.zeros((P, 128), jnp.int32)
+            for k in range(32):
+                rf = rowf if k < 16 else rowf2
+                b = (k & 15) * 6
+                t0x = rf[b + 0] * inv.x - oinv.x
+                t1x = rf[b + 3] * inv.x - oinv.x
+                t0y = rf[b + 1] * inv.y - oinv.y
+                t1y = rf[b + 4] * inv.y - oinv.y
+                t0z = rf[b + 2] * inv.z - oinv.z
+                t1z = rf[b + 5] * inv.z - oinv.z
+                t_in = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t0x, t1x),
+                                jnp.minimum(t0y, t1y)),
+                    jnp.maximum(jnp.minimum(t0z, t1z), tnear))
+                t_out = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t0x, t1x),
+                                jnp.maximum(t0y, t1y)),
+                    jnp.minimum(jnp.maximum(t0z, t1z), best))
+                bits = bits | jnp.where(
+                    t_in <= t_out,
+                    jnp.int32(np.int32(np.uint32(1 << k))), 0)
+            m = or_scalar(bits) & tab_ref[srow, 120]
+            spr[1] = spr[1] | m
+
         def super_leaf(srow, lrow):
             # Interleaved super-slab + leaf-intersect bodies (the mixed
             # case of a dual-packet kernel iteration). Counts as 2
@@ -321,6 +358,9 @@ def build(tab, n_visits, mode, n_tris=None):
             elif mode == "super2":
                 srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
                 super_visit2(srow, srow2)
+            elif mode == "super32":
+                srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
+                super_visit32(srow, srow2)
             elif mode == "super_leaf":
                 srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
                 super_leaf(srow, srow2)
