@@ -193,10 +193,17 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     pend = pstart[np.minimum(miss, n_nodes)]
     cnt_sub = pend - pstart[:-1]
 
-    # Fat-leaf roots: maximal subtrees with <= LEAF_TRIS prims — one
-    # row per leaf, so the kernel needs no dynamic chain loop (a wedge
-    # hazard on hardware) and every stack entry is a single row visit.
-    FAT_CAP = LEAF_TRIS
+    # Fat-leaf roots: maximal subtrees with <= LEAF_CAP prims — a fixed
+    # S_LEAF rows per leaf group, so the kernel needs no dynamic chain
+    # loop (a wedge hazard on hardware) and every stack entry is a
+    # fixed-size visit. Wide tables double the leaf bin to 24 prims
+    # across two rows: the flatter 32-wide tree touches ~10% MORE leaf
+    # groups (coarser hierarchical culling, measured in
+    # tools/wide_visit_count.py), so the leaf side must amortize its
+    # per-visit fixed cost the same way the super side does.
+    LEAF_CAP = LEAF_TRIS * S
+    S_LEAF = S
+    FAT_CAP = LEAF_CAP
     fat_of = {}
     fat_ranges = []
     i = 0
@@ -221,13 +228,13 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         return int((to_pid(p) < leaf_skip_from).sum())
 
     def binpack(leaf_kids):
-        """First-fit-descending pack of leaf nodes into <= LEAF_TRIS
+        """First-fit-descending pack of leaf nodes into <= LEAF_CAP
         prim bins; returns a list of member-node lists."""
         bins = []
         for c in sorted(leaf_kids, key=lambda c: -eff_count(c)):
             k = eff_count(c)
             for b_ in bins:
-                if b_[1] + k <= LEAF_TRIS:
+                if b_[1] + k <= LEAF_CAP:
                     b_[0].append(c)
                     b_[1] += k
                     break
@@ -360,7 +367,7 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         leaf_groups.append(np.zeros(0, np.int32))
         group_bbox.append((np.full(3, 3e38, np.float32),
                            np.full(3, -3e38, np.float32)))
-    n_rows = n_super * S + len(leaf_groups)
+    n_rows = n_super * S + len(leaf_groups) * S_LEAF
     if n_rows * 128 * 4 > _max_table_bytes():
         return None
 
@@ -375,7 +382,8 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
             ti[si * S + r, 96:112] = _EMPTY
 
     def group_ref(gi):
-        return np.int32(~np.int32((n_super * S + gi) | (1 << _CHAIN_SHIFT)))
+        return np.int32(~np.int32((n_super * S + gi * S_LEAF)
+                                  | (S_LEAF << _CHAIN_SHIFT)))
 
     for si in range(n_super):
         ents = kid_entries[si]
@@ -410,13 +418,16 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
         ti[si * S, 121] = axis  # sort axis for the ordered push
 
     for gi, prims in enumerate(leaf_groups):
-        row = n_super * S + gi
-        cnt = prims.shape[0]
-        pids = to_pid(prims)
-        table[row, : cnt * 9] = geo9[pids].reshape(-1)
-        ids = np.full(LEAF_TRIS, -1, np.int32)
-        ids[:cnt] = pids
-        ti[row, 108:120] = ids
+        pids_all = to_pid(prims)
+        for r in range(S_LEAF):
+            row = n_super * S + gi * S_LEAF + r
+            pids = pids_all[r * LEAF_TRIS: (r + 1) * LEAF_TRIS]
+            cnt = pids.shape[0]
+            if cnt:
+                table[row, : cnt * 9] = geo9[pids].reshape(-1)
+            ids = np.full(LEAF_TRIS, -1, np.int32)
+            ids[:cnt] = pids
+            ti[row, 108:120] = ids
 
     stack_n = max(64, W * (max_depth + 1))
     root_lo = bmin[0] if n_nodes else np.zeros(3, np.float32)
@@ -626,14 +637,21 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
         def visit_leaf(lrow):
             lrow_i = tab_ref[lrow, :]
             lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+            if wide:
+                # Wide leaf groups are 24 prims across two rows (see
+                # build_packet_table LEAF_CAP) — one visit, one commit.
+                lrow_i2 = tab_ref[lrow + 1, :]
+                lrowf2 = jax.lax.bitcast_convert_type(lrow_i2, jnp.float32)
             best_t = t_o[...]
             prim_b = prim_o[...]
-            for j in range(LEAF_TRIS):
-                b = j * 9
-                v0 = V3(lrowf[b + 0], lrowf[b + 1], lrowf[b + 2])
-                e1 = V3(lrowf[b + 3], lrowf[b + 4], lrowf[b + 5])
-                e2 = V3(lrowf[b + 6], lrowf[b + 7], lrowf[b + 8])
-                pid = lrow_i[108 + j]
+            for j in range(LEAF_TRIS * (2 if wide else 1)):
+                ri = lrow_i if j < LEAF_TRIS else lrow_i2
+                rf = lrowf if j < LEAF_TRIS else lrowf2
+                b = (j % LEAF_TRIS) * 9
+                v0 = V3(rf[b + 0], rf[b + 1], rf[b + 2])
+                e1 = V3(rf[b + 3], rf[b + 4], rf[b + 5])
+                e2 = V3(rf[b + 6], rf[b + 7], rf[b + 8])
+                pid = ri[108 + (j % LEAF_TRIS)]
                 pvec = soa.cross(d, e2)
                 det = soa.dot(e1, pvec)
                 inv_det = jnp.where(
@@ -696,7 +714,8 @@ def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
                                 R - 2 if wide else R - 1)
                 lrow = jnp.clip(
                     jnp.where(is_super, 0, ~node)
-                    & ((1 << _CHAIN_SHIFT) - 1), 0, R - 1)
+                    & ((1 << _CHAIN_SHIFT) - 1), 0,
+                    R - 2 if wide else R - 1)
                 spr[0] = sp
 
                 @pl.when(is_super)

@@ -316,6 +316,41 @@ def build(tab, n_visits, mode, n_tris=None):
             m = or_scalar(bits) & tab_ref[srow, 120]
             spr[1] = spr[1] | m
 
+        def leaf_visit24(lrow, lrow2):
+            # Model of the WIDE leaf visit: 24 prims across two rows,
+            # one best-t/prim commit (build_packet_table LEAF_CAP=24).
+            # Counts as 1 visit; compare against 2x the solo leaf cost.
+            lrow_i = tab_ref[lrow, :]
+            lrowf = jax.lax.bitcast_convert_type(lrow_i, jnp.float32)
+            lrow_i2 = tab_ref[lrow2, :]
+            lrowf2 = jax.lax.bitcast_convert_type(lrow_i2, jnp.float32)
+            best_t = t_o[...]
+            prim_b = prim_o[...]
+            for j in range(2 * LEAF_TRIS):
+                ri = lrow_i if j < LEAF_TRIS else lrow_i2
+                rf = lrowf if j < LEAF_TRIS else lrowf2
+                b = (j % LEAF_TRIS) * 9
+                v0 = V3(rf[b + 0], rf[b + 1], rf[b + 2])
+                e1 = V3(rf[b + 3], rf[b + 4], rf[b + 5])
+                e2 = V3(rf[b + 6], rf[b + 7], rf[b + 8])
+                pid = ri[108 + (j % LEAF_TRIS)]
+                pvec = soa.cross(d, e2)
+                det = soa.dot(e1, pvec)
+                inv_det = jnp.where(
+                    det != 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+                tvec = org - v0
+                uu = soa.dot(tvec, pvec) * inv_det
+                qvec = soa.cross(tvec, e1)
+                vv = soa.dot(d, qvec) * inv_det
+                tt = soa.dot(e2, qvec) * inv_det
+                hit = ((det != 0) & (uu >= 0) & (vv >= 0)
+                       & (uu + vv <= 1) & (tt >= tnear)
+                       & (tt < best_t) & (pid >= 0))
+                prim_b = jnp.where(hit, pid, prim_b)
+                best_t = jnp.where(hit, tt, best_t)
+            t_o[...] = best_t
+            prim_o[...] = prim_b
+
         def leaf_visit2(lrow, lrow2):
             # Two interleaved leaf bodies (counts as 2 visits).
             lrow_i = tab_ref[lrow, :]
@@ -367,6 +402,9 @@ def build(tab, n_visits, mode, n_tris=None):
             elif mode == "leaf2":
                 srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
                 leaf_visit2(srow, srow2)
+            elif mode == "leaf24":
+                srow2 = (it * 1103515245 & 0x7FFFFFFF) % R
+                leaf_visit24(srow, srow2)
             elif mode == "super_sld":
                 super_visit_sld(srow)
             elif mode == "leaf":
