@@ -80,15 +80,20 @@ DUAL_PACKET = __import__("os").environ.get(
 
 
 def _wide_on():
-    # 32-wide supernodes (GDPT_PACKET_WIDE=1): each supernode holds 32
-    # children across TWO table rows, halving super-visit count at the
-    # cost of 16 extra slab tests per visit — the per-visit fixed cost
+    # 32-wide supernodes (GDPT_PACKET_WIDE, default ON): each supernode
+    # holds 32 children across TWO table rows + 24-prim leaf bins,
+    # cutting union visits/packet ~25% — the per-visit fixed cost
     # (or_scalar readback, step dispatch, stack pop) amortizes over
-    # twice the fan-out. Read at BUILD time (build_packet_table), like
-    # GDPT_MAX_TABLE_MB; the kernel learns the width from the table's
-    # wide marker field, so jit cache keys follow the table structure
-    # and a mid-process env flip cannot select a mismatched kernel.
-    return os.environ.get("GDPT_PACKET_WIDE", "0") == "1"
+    # twice the fan-out. Hardware A/B (tools/ab_wide_kernel.py, v5e
+    # 2026-08-19): disney pool rays 2.56 -> 3.17 Mrays/s (+24%),
+    # sponza +8-11%, disney_array wash (-1..+3%); hit-equality checked
+    # on all three (2/262k tie flips on sponza: bit-identical t,
+    # coplanar duplicate prims). Read at BUILD time
+    # (build_packet_table), like GDPT_MAX_TABLE_MB; the kernel learns
+    # the width from the table's wide marker field, so jit cache keys
+    # follow the table structure and a mid-process env flip cannot
+    # select a mismatched kernel. GDPT_PACKET_WIDE=0 opts out.
+    return os.environ.get("GDPT_PACKET_WIDE", "1") == "1"
 # or_scalar's roll-OR tree only covers every row when P is a power of
 # two; a stray value like 6 would silently drop child-mask lanes.
 # The floor of 8 is hardware-imposed: ray blocks are BlockSpec((P, 128))

@@ -74,12 +74,18 @@ def _check_equal(tab16, tab32, packed, n, any_hit=False):
     if any_hit:
         assert ((pa >= 0) == (pb >= 0)).all(), "wide any-hit mismatch"
     else:
-        same = (pa == pb).mean()
-        assert same == 1.0, f"wide prim mismatch: {same:.6f}"
         ta = np.asarray(a[0]).reshape(-1)[:n]
         tb = np.asarray(b[0]).reshape(-1)[:n]
         good = pa >= 0
         np.testing.assert_allclose(ta[good], tb[good], rtol=1e-6, atol=1e-6)
+        # Coplanar duplicate geometry (real meshes, e.g. sponza) ties
+        # at bit-identical t; the winner is traversal-order-dependent.
+        # A differing prim is only a bug if its t differs too.
+        diff = pa != pb
+        assert ((pa >= 0) == (pb >= 0)).all(), "wide hit-mask mismatch"
+        if diff.any():
+            assert np.allclose(ta[diff], tb[diff], rtol=1e-6), \
+                f"wide prim mismatch beyond ties: {diff.sum()}"
 
 
 def main():
