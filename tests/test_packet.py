@@ -215,43 +215,60 @@ def test_few_spheres_outside_table(monkeypatch):
     np.testing.assert_array_equal(np.asarray(occ) > 0, good)
 
 
-def test_packet_table_structural_invariants():
-    """Host-only checks of the collapsed table: every primitive appears
-    exactly once among root-reachable leaf rows, groups respect
-    LEAF_TRIS, and child bboxes contain their leaf groups' triangles."""
+@pytest.mark.parametrize("wide", [False, True])
+def test_packet_table_structural_invariants(wide):
+    """Host-only checks of the collapsed table at BOTH supernode widths:
+    every primitive appears exactly once among root-reachable leaf
+    groups, groups respect the leaf cap, and child bboxes contain their
+    leaf groups' triangles. Wide (32-child) supernodes span two rows —
+    children 16-31 live in row A+1, validity uses all 32 bits of row A
+    col 120, and leaf groups chain S_LEAF=2 rows (24 prims)."""
     v0, v1, v2 = _soup(900, seed=5)
-    tab, e1, e2 = _table(v0, v1, v2)
+    e1, e2 = v1 - v0, v2 - v0
+    arr = gbvh.build_bvh(v0, v1, v2)
+    tab = pt.build_packet_table(
+        arr.bbox_min, arr.bbox_max, arr.first, arr.count, arr.miss,
+        arr.prim_order, v0.astype(np.float32), e1.astype(np.float32),
+        e2.astype(np.float32), wide=wide)
     assert tab is not None
+    assert (tab.wide_dummy is not None) == wide
     t = np.asarray(tab.table)
     EMPTY = np.int32(2**31 - 1)
+    n_kids = 32 if wide else 16
+    s_leaf = 2 if wide else 1
     seen = set()
     stack = [0]
-    leaf_of_parent = []  # (parent_row, slot, leaf_row)
+    leaf_of_parent = []  # (bbox_row, slot_in_row, leaf_start_row)
     while stack:
         r = stack.pop()
         if r in seen:
             continue
         seen.add(r)
-        mask = int(t[r, 120])
-        for k in range(16):
+        mask = int(np.uint32(np.int32(t[r, 120])))
+        for k in range(n_kids):
             if not ((mask >> k) & 1):
                 continue
-            ref = int(t[r, 96 + k])
+            br = r + (k >> 4)          # row A or B of the supernode
+            ref = int(t[br, 96 + (k & 15)])
             if ref == EMPTY:
                 continue
             if ref >= 0:
                 stack.append(ref)
             else:
-                leaf_of_parent.append((r, k, int((~ref) & ((1 << 22) - 1))))
+                inv = int(np.uint32(np.int32(~np.int32(ref))))
+                start = inv & ((1 << pt._CHAIN_SHIFT) - 1)
+                nrows = inv >> pt._CHAIN_SHIFT
+                assert nrows == s_leaf
+                leaf_of_parent.append((br, k & 15, start))
     prims = []
-    for pr, k, lr in leaf_of_parent:
-        ids = t[lr, 108:120]
+    for pr, kk, lr in leaf_of_parent:
+        ids = np.concatenate([t[lr + rr, 108:120] for rr in range(s_leaf)])
         ids = ids[ids >= 0]
-        assert ids.shape[0] <= pt.LEAF_TRIS
+        assert ids.shape[0] <= pt.LEAF_TRIS * s_leaf
         prims.extend(int(i) for i in ids)
         # Child bbox must contain the group's triangles.
-        blo = t[pr, k * 6: k * 6 + 3].view(np.float32)
-        bhi = t[pr, k * 6 + 3: k * 6 + 6].view(np.float32)
+        blo = t[pr, kk * 6: kk * 6 + 3].view(np.float32)
+        bhi = t[pr, kk * 6 + 3: kk * 6 + 6].view(np.float32)
         for pid in ids:
             verts = np.stack([v0[pid], v1[pid], v2[pid]])
             assert (verts.min(0) >= blo - 1e-4).all()
