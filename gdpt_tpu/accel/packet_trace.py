@@ -474,7 +474,13 @@ def build_packet_table(bvh_bbox_min, bvh_bbox_max, first, count, miss,
     )
 
 
-_VISITS_PER_ITER = 2  # stack visits unrolled per while iteration
+# Stack visits unrolled per while-loop iteration: amortizes the loop's
+# fixed cost (cond eval, carry staging) over more visit bodies at the
+# price of up to N-1 wasted predicated visits at stack drain (noise next
+# to the 300-900 visits a live packet performs). Read at import time
+# like GDPT_PACKET_ROWS; subprocess A/B via tools/kernel_sweep.py.
+_VISITS_PER_ITER = int(os.environ.get("GDPT_VISITS_PER_ITER", "2"))
+assert _VISITS_PER_ITER >= 1
 
 
 def _make_kernel(stack_n, n_tris, any_hit, ceiling, n_rows,
